@@ -1,0 +1,136 @@
+"""Wavefront path-tracing integrator.
+
+The reference's recursive integrator (``trace_ray``, src/renderer.c:21-77)
+computes, per pixel::
+
+    radiance(d) = black                      if d == 0          (renderer.c:23-24)
+    radiance(d) = base + 0.5 * radiance(d-1) on a hit           (renderer.c:56-58)
+    radiance(d) = sky(dir.y)                 on a miss          (renderer.c:65-70)
+
+Unrolled iteratively that is ``L = sum_k 0.5^k * albedo_k`` plus
+``0.5^m * sky`` if the path escapes at bounce m -- a throughput form that maps
+to a fixed-depth wavefront loop: every bounce is one batched nearest-hit over
+the whole ray wavefront, then one batched shading/sampling step. No recursion,
+no per-pixel control flow; masks carry ray liveness.
+
+Color is float32 in [0,1] end-to-end. The reference accumulates in Uint8 and
+its ``base + 0.5*reflected`` can overflow-wrap (renderer.c:56-58); we clamp at
+the very end instead -- a documented fix, not a port of the bug (SURVEY.md 7).
+
+The depth loop is a static Python unroll (max_depth is jit-static and small,
+default 5): XLA sees 5 fused stages and can overlap gathers with compute
+across bounces.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+from tracer.config import TracerConfig, DEFAULT_CONFIG
+from tracer.core import sampling
+from tracer.core.types import Ray, HitRecord
+from tracer.scene.camera import Camera, camera_rays
+from tracer.scene.scene import Scene
+
+# Reference sky gradient endpoints (src/renderer.c:65-70), in [0,1] scale.
+_SKY_HORIZON = (1.0, 1.0, 1.0)
+_SKY_ZENITH = (128.0 / 255.0, 178.0 / 255.0, 1.0)
+
+NearestHitFn = Callable[[Ray], HitRecord]
+
+
+def sky_color(direction: Array) -> Array:
+    """Sky gradient keyed to direction.y (src/renderer.c:65-70):
+    t = 0.5*(dir.y + 1); white at the horizon, light blue at the zenith."""
+    t = 0.5 * (direction[..., 1] + 1.0)
+    a = jnp.array(_SKY_HORIZON, jnp.float32)
+    b = jnp.array(_SKY_ZENITH, jnp.float32)
+    return (1.0 - t[..., None]) * a + t[..., None] * b
+
+
+def trace_radiance(nearest_hit: NearestHitFn, scene: Scene, rays: Ray,
+                   key: Array, max_depth: int = 5) -> Array:
+    """Radiance for a wavefront of rays; batch shape (...,) -> (..., 3).
+
+    ``nearest_hit`` is pluggable: brute force (the oracle) or BVH traversal.
+    Matches the reference semantics in float space (see module docstring).
+    """
+    batch_shape = rays.batch_shape
+    radiance = jnp.zeros((*batch_shape, 3), jnp.float32)
+    throughput = jnp.ones(batch_shape, jnp.float32)
+    active = jnp.ones(batch_shape, dtype=bool)
+
+    for bounce in range(max_depth):
+        rec = nearest_hit(rays)
+        hit_now = active & rec.hit
+        miss_now = active & ~rec.hit
+
+        albedo = scene.albedo[jnp.maximum(rec.index, 0)]  # (..., 3)
+        radiance = radiance + jnp.where(
+            hit_now[..., None], throughput[..., None] * albedo, 0.0)
+        radiance = radiance + jnp.where(
+            miss_now[..., None],
+            throughput[..., None] * sky_color(rays.direction), 0.0)
+
+        active = hit_now
+        throughput = throughput * 0.5
+
+        if bounce + 1 < max_depth:
+            key, sub = jax.random.split(key)
+            new_dir = sampling.uniform_on_hemisphere(sub, rec.normal)
+            # Bounce ray starts exactly at the hit point (renderer.c:54); the
+            # t > EPSILON acceptance plays the role of the self-hit offset.
+            rays = Ray(origin=rec.point, direction=new_dir)
+
+    # Paths still alive after max_depth bounces contribute black
+    # (renderer.c:23-24): nothing to add.
+    return radiance
+
+
+def render(scene: Scene, camera: Camera, key: Array,
+           nearest_hit_for: Callable[[Scene], NearestHitFn],
+           config: TracerConfig = DEFAULT_CONFIG) -> Array:
+    """One frame: (H, W, 3) float32 radiance in [0,1] (clamped).
+
+    The whole frame is a single wavefront; this is the jit unit replacing the
+    per-pixel loop at src/main.c:358-374.
+    """
+    rays = camera_rays(camera, config)
+    nearest = nearest_hit_for(scene)
+    img = trace_radiance(nearest, scene, rays, key, config.max_depth)
+    return jnp.clip(img, 0.0, 1.0)
+
+
+@flax.struct.dataclass
+class Accumulator:
+    """Temporal accumulation state: running sum + frame count.
+
+    Replaces the reference's accumulated_colors buffer and its reset-on-move /
+    average-while-static logic (src/main.c:241-273, 376-408). Functional: each
+    frame returns a new state; ``mean`` is the display image.
+    """
+
+    total: Array   # (H, W, 3) f32 running sum
+    frames: Array  # () i32
+
+    @classmethod
+    def zero(cls, height: int, width: int) -> "Accumulator":
+        return cls(total=jnp.zeros((height, width, 3), jnp.float32),
+                   frames=jnp.int32(0))
+
+    def add(self, frame: Array) -> "Accumulator":
+        return Accumulator(total=self.total + frame, frames=self.frames + 1)
+
+    def reset_to(self, frame: Array) -> "Accumulator":
+        """Camera moved: restart accumulation from this frame (main.c:376-380)."""
+        return Accumulator(total=frame, frames=jnp.int32(1))
+
+    @property
+    def mean(self) -> Array:
+        n = jnp.maximum(self.frames, 1).astype(jnp.float32)
+        return jnp.clip(self.total / n, 0.0, 1.0)
