@@ -7,15 +7,19 @@ chips; the benchmark harness (bench.py) is what runs on TPU hardware.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+# Force-override: the ambient environment pins JAX_PLATFORMS to the TPU
+# plugin; tests must run on the virtual CPU mesh regardless.
+os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402
 
 jax.config.update("jax_enable_x64", False)
+# The ambient TPU plugin (sitecustomize) force-registers itself and pins the
+# platform before any conftest runs; override it back to CPU here (works as
+# long as no backend has initialized yet). jax >= 0.5 replaced
+# --xla_force_host_platform_device_count with jax_num_cpu_devices.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -1,0 +1,184 @@
+"""Benchmark sweep harness: BVH vs brute force over scene sizes.
+
+The TPU-native re-expression of ``run_benchmark_with_plotting``
+(src/benchmark.c:283-332): sweep sphere counts, generate the reference's
+random scenes (r=0.5 in a world_size^3 box), time closest-hit for a batch of
+origin rays with and without the BVH, and fit complexity curves the way
+``results/main.py`` does (linear fit for brute force, log fit + log-log
+slopes for BVH). gnuplot-subprocess plotting (src/benchmark.c:34-136) is
+replaced by matplotlib; the data file format matches
+``results/benchmark_data.txt`` ("n time_brute time_bvh").
+
+Timing notes (device-honest, unlike the reference's clock() CPU time):
+  * compile time excluded (one warmup call per shape),
+  * several chained calls per measurement with a single final
+    block_until_ready, amortizing host->device dispatch latency.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import time
+from typing import Callable
+
+import numpy as np
+
+from tracer.core.types import Ray
+
+
+@dataclasses.dataclass
+class SweepResult:
+    sizes: list
+    brute_s: list          # seconds per batch (NaN where skipped)
+    bvh_s: list            # seconds per batch
+    build_ms: list
+    num_rays: int
+    path: str              # which traversal implementation was measured
+
+    def speedups(self):
+        return [b / v if (b == b and v == v and v > 0) else float("nan")
+                for b, v in zip(self.brute_s, self.bvh_s)]
+
+    def mrays_bvh(self):
+        return [self.num_rays / v / 1e6 if v == v and v > 0 else float("nan")
+                for v in self.bvh_s]
+
+    def to_json(self) -> dict:
+        return {
+            "sizes": list(map(int, self.sizes)),
+            "brute_s": self.brute_s,
+            "bvh_s": self.bvh_s,
+            "build_ms": self.build_ms,
+            "num_rays": self.num_rays,
+            "speedup": self.speedups(),
+            "mrays_bvh": self.mrays_bvh(),
+            "path": self.path,
+            "complexity": complexity_fit(self.sizes, self.brute_s, self.bvh_s),
+        }
+
+    def save_data_txt(self, path: str) -> None:
+        """results/benchmark_data.txt-compatible: 'n brute_s bvh_s' rows."""
+        with open(path, "w") as f:
+            for n, b, v in zip(self.sizes, self.brute_s, self.bvh_s):
+                f.write(f"{n} {b:.6f} {v:.6f}\n")
+
+
+def complexity_fit(sizes, brute_s, bvh_s) -> dict:
+    """The fits of results/main.py:20-87: brute ~ O(n) (linear fit +
+    log-log slope ~ 1), BVH ~ O(log n) (log fit + log-log slope << 1)."""
+    n = np.asarray(sizes, np.float64)
+    out = {}
+    bb = np.asarray(brute_s, np.float64)
+    vv = np.asarray(bvh_s, np.float64)
+    ok = np.isfinite(bb)
+    if ok.sum() >= 2:
+        slope = np.polyfit(np.log(n[ok]), np.log(bb[ok]), 1)[0]
+        out["brute_loglog_slope"] = float(slope)
+    ok = np.isfinite(vv) & (vv > 0)
+    if ok.sum() >= 2:
+        slope = np.polyfit(np.log(n[ok]), np.log(vv[ok]), 1)[0]
+        out["bvh_loglog_slope"] = float(slope)
+        # log fit: t = b*log(n) + a (results/main.py:24-26)
+        coef = np.polyfit(np.log(n[ok]), vv[ok], 1)
+        out["bvh_logfit"] = [float(coef[0]), float(coef[1])]
+    return out
+
+
+def _time_amortized(fn, n_calls: int = 4) -> float:
+    import jax
+    out = fn()
+    jax.block_until_ready(out)      # warmup/compile
+    t0 = time.time()
+    for _ in range(n_calls):
+        out = fn()
+    jax.block_until_ready(out)
+    return (time.time() - t0) / n_calls
+
+
+def run_sweep(sizes=(5000, 10000, 15000, 20000, 25000, 30000,
+                     35000, 40000, 45000, 50000),
+              num_rays: int = 131072, world_size: float = 1000.0,
+              brute_limit: int = 200_000, use_pallas: bool = None,
+              seed: int = 0, log: Callable = print) -> SweepResult:
+    """Run the sweep. Default sizes = the reference's in-repo sweep
+    (src/benchmark.c:289-295); pass (1000, 10000, ..., 1e6+) for the
+    published-data variant (src/benchmark.c:296)."""
+    import jax
+    import jax.numpy as jnp
+    from tracer.bvh.builder import build_bvh
+    from tracer.core.sort import sort_rays_by_direction
+    from tracer.intersect.brute import nearest_hit_brute
+    from tracer.scene.scene import benchmark_scene
+
+    if use_pallas is None:
+        use_pallas = jax.devices()[0].platform == "tpu"
+
+    if use_pallas:
+        from tracer.kernels import pack_bvh, nearest_hit_bvh_pallas
+        path = "pallas_packet_kernel"
+    else:
+        from tracer.intersect.traverse import nearest_hit_bvh
+        path = "jnp_while_loop"
+
+    rng = np.random.default_rng(seed)
+    d = rng.uniform(-1, 1, (num_rays, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    rays = Ray(origin=jnp.zeros((num_rays, 3), jnp.float32),
+               direction=jnp.asarray(d))
+    rays, _ = sort_rays_by_direction(rays)
+    rays = jax.block_until_ready(rays)
+
+    res = SweepResult(sizes=list(sizes), brute_s=[], bvh_s=[], build_ms=[],
+                      num_rays=num_rays, path=path)
+
+    brute_fn = jax.jit(lambda r, s: nearest_hit_brute(r, s).t)
+    for n in sizes:
+        scene = benchmark_scene(jax.random.PRNGKey(seed + n), int(n),
+                                world_size=world_size)
+        t0 = time.time()
+        bvh = build_bvh(np.asarray(scene.centers), np.asarray(scene.radii))
+        res.build_ms.append((time.time() - t0) * 1000.0)
+
+        if n <= brute_limit:
+            dt = _time_amortized(lambda: brute_fn(rays, scene))
+            res.brute_s.append(dt)
+        else:
+            res.brute_s.append(float("nan"))
+
+        if use_pallas:
+            packed = jax.jit(pack_bvh)(scene, bvh)
+            fn = jax.jit(lambda r, p, s: nearest_hit_bvh_pallas(r, s, p).t)
+            dt = _time_amortized(lambda: fn(rays, packed, scene))
+        else:
+            fn = jax.jit(lambda r, s, b: nearest_hit_bvh(r, s, b).t)
+            dt = _time_amortized(lambda: fn(rays, scene, bvh))
+        res.bvh_s.append(dt)
+        log(f"n={n}: build {res.build_ms[-1]:.0f} ms, "
+            f"brute {res.brute_s[-1]:.4f} s, bvh {res.bvh_s[-1]:.4f} s "
+            f"({res.mrays_bvh()[-1]:.1f} Mrays/s)")
+
+    return res
+
+
+def plot_sweep(res: SweepResult, path: str) -> None:
+    """The gnuplot replacement (src/benchmark.c:90-136): log-log BVH vs
+    brute timing plot."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(8, 5))
+    n = np.asarray(res.sizes)
+    ax.plot(n, res.brute_s, "o-", label="brute force O(n)")
+    ax.plot(n, res.bvh_s, "s-", label="SAH BVH")
+    ax.set_xscale("log")
+    ax.set_yscale("log")
+    ax.set_xlabel("spheres")
+    ax.set_ylabel(f"seconds / {res.num_rays} rays")
+    ax.set_title("BVH vs brute-force closest hit (TPU)")
+    ax.grid(True, which="both", alpha=0.3)
+    ax.legend()
+    fig.tight_layout()
+    fig.savefig(path, dpi=120)
+    plt.close(fig)

@@ -1,0 +1,228 @@
+"""Command-line interface: ``render | bench | fit | viz``.
+
+Replaces the reference's interactive scanf menu (src/main.c:92-100) and key
+bindings (README.md:85-110). Interactive SDL windowing is out of scope on TPU
+hosts (SURVEY.md section 2 item 8); rendering writes PNG/NPY frames, the
+fly-through becomes a scripted pose trajectory, and the benchmark writes the
+data file + matplotlib plot that gnuplot produced in the reference.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _save_png(img, path):
+    from PIL import Image
+    Image.fromarray((np.asarray(img) * 255).astype(np.uint8)).save(path)
+    print(f"wrote {path}")
+
+
+def _make_scene_camera(args):
+    import jax
+    from tracer.scene.scene import random_scene, benchmark_scene
+    from tracer.scene.camera import Camera
+    import jax.numpy as jnp
+
+    key = jax.random.PRNGKey(args.seed)
+    if args.scene == "interactive":
+        scene = random_scene(key, args.spheres)       # src/main.c:213-221
+    else:
+        scene = benchmark_scene(key, args.spheres, world_size=args.world_size)
+    cam = Camera.default()
+    if args.camera_pos:
+        cam = cam.replace(position=jnp.asarray(
+            [float(x) for x in args.camera_pos.split(",")], jnp.float32))
+    if args.yaw is not None:
+        cam = cam.replace(yaw=jnp.float32(args.yaw))
+    if args.pitch is not None:
+        cam = cam.replace(pitch=jnp.float32(args.pitch))
+    return scene, cam
+
+
+def _config(args):
+    from tracer.config import TracerConfig
+    return TracerConfig(width=args.width, height=args.height,
+                        max_depth=args.depth)
+
+
+def cmd_render(args):
+    import jax
+    import jax.numpy as jnp
+    from tracer.integrator.wavefront import render, Accumulator, bounce_noise
+    from tracer.intersect.brute import nearest_hit_brute
+
+    cfg = _config(args)
+    scene, cam = _make_scene_camera(args)
+
+    if args.bvh:
+        from tracer.bvh.builder import build_bvh
+        from tracer.intersect.traverse import nearest_hit_bvh
+        t0 = time.time()
+        bvh = build_bvh(np.asarray(scene.centers), np.asarray(scene.radii),
+                        near_point=tuple(np.asarray(cam.position)))
+        print(f"BVH built in {time.time() - t0:.3f} s "  # src/main.c:223-228
+              f"({bvh.num_nodes} nodes)")
+        nearest = lambda s: (lambda r: nearest_hit_bvh(r, s, bvh))
+    else:
+        nearest = lambda s: (lambda r: nearest_hit_brute(r, s))
+
+    frame = jax.jit(lambda s, c, noise: render(s, c, None, nearest, cfg,
+                                               noise=noise))
+
+    # Fly-through trajectory: move along the camera's forward axis by
+    # --fly-speed per frame (the scripted analog of WASD, src/main.c:288-315);
+    # accumulation resets on motion and averages when still
+    # (src/main.c:241-273).
+    acc = Accumulator.zero(cfg.height, cfg.width)
+    key = jax.random.PRNGKey(args.seed + 1)
+    times = []
+    for i in range(args.frames):
+        key, sub = jax.random.split(key)
+        noise = bounce_noise(sub, (cfg.height, cfg.width), cfg.max_depth)
+        moving = args.fly_speed != 0.0 and i > 0
+        if moving:
+            f, _, _ = cam.basis()
+            cam = cam.replace(position=cam.position + args.fly_speed * f)
+        t0 = time.time()
+        img = jax.block_until_ready(frame(scene, cam, noise))
+        times.append(time.time() - t0)
+        acc = acc.reset_to(img) if (moving or i == 0) else acc.add(img)
+
+    _save_png(acc.mean, args.out)
+    times = times[1:] or times
+    print(f"frames: {args.frames}, mean frame time {np.mean(times):.4f} s "
+          f"({1.0 / np.mean(times):.2f} FPS)")   # src/main.c:416-421
+
+
+def cmd_bench(args):
+    from tracer.bench.harness import run_sweep, plot_sweep
+
+    sizes = ([int(s) for s in args.sizes.split(",")] if args.sizes else None)
+    kwargs = dict(num_rays=args.rays, world_size=args.world_size)
+    if sizes:
+        kwargs["sizes"] = tuple(sizes)
+    res = run_sweep(**kwargs)
+    res.save_data_txt("benchmark_data.txt")      # src/benchmark.c:160-170
+    with open("benchmark_results.json", "w") as f:
+        json.dump(res.to_json(), f, indent=2)
+    plot_sweep(res, "benchmark_results.png")     # replaces gnuplot PNG
+    print(json.dumps(res.to_json()["complexity"], indent=2))
+    print("wrote benchmark_data.txt benchmark_results.json "
+          "benchmark_results.png")
+
+
+def cmd_fit(args):
+    import jax
+    import jax.numpy as jnp
+    from tracer.diff.soft import soft_render, SoftParams
+    from tracer.diff.fit import fit_scene
+
+    cfg = _config(args)
+    scene, cam = _make_scene_camera(args)
+    soft = SoftParams(edge_sharpness=jnp.float32(args.sharpness),
+                      tau_depth=jnp.float32(args.tau))
+    target = soft_render(scene, cam, soft, cfg)
+    _save_png(target, "fit_target.png")
+
+    key = jax.random.PRNGKey(args.seed + 7)
+    init = scene.replace(
+        centers=scene.centers + 0.1 * jax.random.normal(
+            key, scene.centers.shape) * jnp.mean(scene.radii),
+        albedo=jnp.clip(scene.albedo + 0.2, 0.05, 0.95),
+    )
+    _save_png(soft_render(init, cam, soft, cfg), "fit_init.png")
+
+    res = fit_scene(target, init, cam, steps=args.steps, lr=args.lr,
+                    soft=soft, config=cfg)
+    _save_png(soft_render(res.scene, cam, soft, cfg), "fit_final.png")
+    print(f"loss: {res.losses[0]:.6f} -> {res.losses[-1]:.6f} "
+          f"({args.steps} steps)")
+    np.savetxt("fit_losses.txt", res.losses)
+
+
+def cmd_viz(args):
+    import jax
+    from tracer.bvh.builder import build_bvh
+    from tracer.bvh.flat import bvh_stats
+    from tracer.integrator.wavefront import render, bounce_noise
+    from tracer.intersect.brute import nearest_hit_brute
+    from tracer.viz.wireframe import draw_bvh_wireframe
+
+    cfg = _config(args)
+    scene, cam = _make_scene_camera(args)
+    bvh = build_bvh(np.asarray(scene.centers), np.asarray(scene.radii))
+    stats = bvh_stats(bvh, scene.num_spheres)
+    print(json.dumps(stats, indent=2))
+
+    noise = bounce_noise(jax.random.PRNGKey(1), (cfg.height, cfg.width),
+                         cfg.max_depth)
+    img = render(scene, cam, None,
+                 lambda s: (lambda r: nearest_hit_brute(r, s)), cfg,
+                 noise=noise)
+    overlay = draw_bvh_wireframe(np.asarray(img), bvh, cam, cfg,
+                                 max_draw_depth=args.viz_depth)
+    _save_png(overlay, args.out)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="tracer",
+                                description="TPU-native SAH-BVH ray tracer")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp):
+        sp.add_argument("--width", type=int, default=800)    # constants.h:7
+        sp.add_argument("--height", type=int, default=600)   # constants.h:8
+        sp.add_argument("--depth", type=int, default=5)      # main.c:19
+        sp.add_argument("--spheres", type=int, default=20)   # main.c:18
+        sp.add_argument("--scene", choices=["interactive", "benchmark"],
+                        default="interactive")
+        sp.add_argument("--world-size", type=float, default=1000.0)
+        sp.add_argument("--seed", type=int, default=0)
+        sp.add_argument("--camera-pos", default=None,
+                        help="x,y,z (default 0,4,50; src/main.c:203-211)")
+        sp.add_argument("--yaw", type=float, default=None)
+        sp.add_argument("--pitch", type=float, default=None)
+
+    sp = sub.add_parser("render", help="render frames to PNG")
+    common(sp)
+    sp.add_argument("--frames", type=int, default=1)
+    sp.add_argument("--fly-speed", type=float, default=0.0,
+                    help="forward units/frame (scripted fly-through)")
+    sp.add_argument("--bvh", action=argparse.BooleanOptionalAction,
+                    default=True, help="the 'B' toggle (src/main.c:317-320)")
+    sp.add_argument("--out", default="render.png")
+    sp.set_defaults(fn=cmd_render)
+
+    sp = sub.add_parser("bench", help="BVH vs brute sweep + plots")
+    common(sp)
+    sp.add_argument("--sizes", default=None,
+                    help="comma-separated sphere counts")
+    sp.add_argument("--rays", type=int, default=131072)
+    sp.set_defaults(fn=cmd_bench)
+
+    sp = sub.add_parser("fit", help="inverse-rendering demo")
+    common(sp)
+    sp.add_argument("--steps", type=int, default=100)
+    sp.add_argument("--lr", type=float, default=3e-2)
+    sp.add_argument("--sharpness", type=float, default=12.0)
+    sp.add_argument("--tau", type=float, default=0.3)
+    sp.set_defaults(fn=cmd_fit)
+
+    sp = sub.add_parser("viz", help="BVH wireframe overlay + stats")
+    common(sp)
+    sp.add_argument("--viz-depth", type=int, default=8)
+    sp.add_argument("--out", default="bvh_viz.png")
+    sp.set_defaults(fn=cmd_viz)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -45,3 +45,14 @@ def uniform_on_hemisphere(key: Array, normal: Array) -> Array:
     s = uniform_on_sphere(key, normal.shape[:-1])
     keep = vecmath.dot(s, normal) > 0.0
     return jnp.where(keep[..., None], s, -s)
+
+
+def hemisphere_from_noise(noise: Array, normal: Array) -> Array:
+    """Hemisphere sample from pre-drawn Gaussian ``noise (..., 3)`` -- the
+    deterministic form used when noise is threaded in as an operand (for
+    shard-invariant rendering; see integrator.bounce_noise)."""
+    deg = vecmath.dot(noise, noise)[..., None] == 0.0
+    v = jnp.where(deg, jnp.array([1.0, 0.0, 0.0], jnp.float32), noise)
+    s = vecmath.normalize(v)
+    keep = vecmath.dot(s, normal) > 0.0
+    return jnp.where(keep[..., None], s, -s)

@@ -24,9 +24,14 @@ def length(a: Array) -> Array:
 
 def normalize(a: Array) -> Array:
     """Normalize with the reference's zero-guard (src/vec3.c:20-23):
-    a zero vector normalizes to zero, not NaN."""
-    len_ = length(a)[..., None]
-    return jnp.where(len_ != 0.0, a / jnp.where(len_ == 0.0, 1.0, len_), 0.0)
+    a zero vector normalizes to zero, not NaN.
+
+    Double-where form so the *backward* pass is NaN-free too: sqrt has an
+    infinite derivative at 0, and a plain where() still backprops it."""
+    d2 = dot(a, a)[..., None]
+    zero = d2 == 0.0
+    len_ = jnp.sqrt(jnp.where(zero, 1.0, d2))
+    return jnp.where(zero, 0.0, a / len_)
 
 
 def cross(a: Array, b: Array) -> Array:

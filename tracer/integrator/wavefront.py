@@ -53,12 +53,28 @@ def sky_color(direction: Array) -> Array:
     return (1.0 - t[..., None]) * a + t[..., None] * b
 
 
+def bounce_noise(key: Array, batch_shape, max_depth: int) -> Array:
+    """Pre-drawn Gaussian bounce noise, shape (max_depth-1, *batch, 3).
+
+    Drawing the noise *outside* the integrator makes sharded rendering
+    bitwise-identical to single-device rendering: the noise array shards
+    along the ray axes like any other operand, whereas in-loop
+    ``jax.random.normal(key, shard_shape)`` would draw different values per
+    shard (counter-based PRNG is shape-dependent)."""
+    if max_depth <= 1:
+        return jnp.zeros((0, *batch_shape, 3), jnp.float32)
+    return jax.random.normal(key, (max_depth - 1, *batch_shape, 3), jnp.float32)
+
+
 def trace_radiance(nearest_hit: NearestHitFn, scene: Scene, rays: Ray,
-                   key: Array, max_depth: int = 5) -> Array:
+                   key: Array = None, max_depth: int = 5,
+                   noise: Array = None) -> Array:
     """Radiance for a wavefront of rays; batch shape (...,) -> (..., 3).
 
     ``nearest_hit`` is pluggable: brute force (the oracle) or BVH traversal.
     Matches the reference semantics in float space (see module docstring).
+    Bounce directions come from ``noise`` (see :func:`bounce_noise`) if given,
+    else are drawn from ``key`` per bounce.
     """
     batch_shape = rays.batch_shape
     radiance = jnp.zeros((*batch_shape, 3), jnp.float32)
@@ -81,8 +97,11 @@ def trace_radiance(nearest_hit: NearestHitFn, scene: Scene, rays: Ray,
         throughput = throughput * 0.5
 
         if bounce + 1 < max_depth:
-            key, sub = jax.random.split(key)
-            new_dir = sampling.uniform_on_hemisphere(sub, rec.normal)
+            if noise is not None:
+                new_dir = sampling.hemisphere_from_noise(noise[bounce], rec.normal)
+            else:
+                key, sub = jax.random.split(key)
+                new_dir = sampling.uniform_on_hemisphere(sub, rec.normal)
             # Bounce ray starts exactly at the hit point (renderer.c:54); the
             # t > EPSILON acceptance plays the role of the self-hit offset.
             rays = Ray(origin=rec.point, direction=new_dir)
@@ -94,7 +113,7 @@ def trace_radiance(nearest_hit: NearestHitFn, scene: Scene, rays: Ray,
 
 def render(scene: Scene, camera: Camera, key: Array,
            nearest_hit_for: Callable[[Scene], NearestHitFn],
-           config: TracerConfig = DEFAULT_CONFIG) -> Array:
+           config: TracerConfig = DEFAULT_CONFIG, noise: Array = None) -> Array:
     """One frame: (H, W, 3) float32 radiance in [0,1] (clamped).
 
     The whole frame is a single wavefront; this is the jit unit replacing the
@@ -102,7 +121,8 @@ def render(scene: Scene, camera: Camera, key: Array,
     """
     rays = camera_rays(camera, config)
     nearest = nearest_hit_for(scene)
-    img = trace_radiance(nearest, scene, rays, key, config.max_depth)
+    img = trace_radiance(nearest, scene, rays, key, config.max_depth,
+                         noise=noise)
     return jnp.clip(img, 0.0, 1.0)
 
 
