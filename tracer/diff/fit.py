@@ -13,6 +13,7 @@ this framework (SURVEY.md section 2, parallelism item 3).
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import jax
@@ -23,6 +24,7 @@ from jax import Array
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
+from tracer.checkpoint import save_pytree, load_pytree
 from tracer.config import TracerConfig, DEFAULT_CONFIG
 from tracer.core.types import Ray
 from tracer.diff.soft import soft_render, SoftParams
@@ -75,8 +77,19 @@ def fit_scene(target: Array, init_scene: Scene, camera: Camera,
               soft: SoftParams = None,
               config: TracerConfig = DEFAULT_CONFIG,
               optimize_camera: bool = False,
-              mesh: Mesh = None) -> FitResult:
-    """Fit scene (and optionally camera pose) to ``target`` (H, W, 3)."""
+              mesh: Mesh = None,
+              checkpoint_path: str = None,
+              checkpoint_every: int = 50,
+              resume: bool = False) -> FitResult:
+    """Fit scene (and optionally camera pose) to ``target`` (H, W, 3).
+
+    With ``checkpoint_path``, the full optimization state (params, optimizer
+    moments, step counter, loss history) is persisted every
+    ``checkpoint_every`` steps (atomic npz, tracer/checkpoint.py); with
+    ``resume=True`` a killed run continues from the last checkpoint and the
+    remaining steps are bitwise identical to an uninterrupted run
+    (tests/test_checkpoint.py).
+    """
     if soft is None:
         soft = SoftParams()
 
@@ -106,6 +119,14 @@ def fit_scene(target: Array, init_scene: Scene, camera: Camera,
     opt = optax.adam(lr)
     opt_state = opt.init(all_params)
 
+    start_step = 0
+    losses = []
+    if resume and checkpoint_path and os.path.exists(checkpoint_path):
+        (all_params, opt_state), meta = load_pytree(
+            checkpoint_path, (all_params, opt_state))
+        start_step = int(meta["step"])
+        losses = list(meta["losses"])
+
     rays = camera_rays(camera, config)
     ray_o = rays.origin.reshape(-1, 3)
     ray_d = rays.direction.reshape(-1, 3)
@@ -118,11 +139,19 @@ def fit_scene(target: Array, init_scene: Scene, camera: Camera,
         updates, opt_state = opt.update(grads, opt_state)
         return optax.apply_updates(all_params, updates), opt_state
 
-    losses = []
-    for _ in range(steps):
+    def save(step):
+        save_pytree(checkpoint_path, (all_params, opt_state),
+                    meta={"step": step, "losses": losses})
+
+    for step in range(start_step, steps):
         val, grads = compute(all_params, ray_o, ray_d, target_flat)
         all_params, opt_state = apply(all_params, opt_state, grads)
         losses.append(float(val))
+        if checkpoint_path and (step + 1) % checkpoint_every == 0 \
+                and step + 1 < steps:
+            save(step + 1)
+    if checkpoint_path:
+        save(steps)
 
     scene_params, cam_params = all_params
     cam = camera.replace(**cam_params) if optimize_camera else camera

@@ -33,11 +33,16 @@ def ray_sphere_t(origin: Array, direction: Array, center: Array,
     b = 2.0 * vecmath.dot(oc, direction)
     c = vecmath.dot(oc, oc) - radius * radius
     disc = b * b - 4.0 * a * c
-    # sqrt of a clamped disc keeps the lane valid; the (disc > 0) mask applies
-    # the reference's acceptance rule. max(a, tiny) guards a degenerate
-    # zero-direction ray (reference would divide by zero -> inf/nan miss).
-    t = (-b - jnp.sqrt(jnp.maximum(disc, 0.0))) / (2.0 * jnp.maximum(a, 1e-30))
-    valid = (disc > 0.0) & (t > eps)
+    # Safe sqrt: miss lanes (disc <= 0) substitute 1.0 under the sqrt so the
+    # backward pass sees a finite local derivative there (0.5/sqrt(0) = inf
+    # would turn the masked-out 0 cotangent into NaN); valid lanes are
+    # untouched, preserving the reference's float math (src/hit.c:25-31).
+    # max(a, tiny) guards a degenerate zero-direction ray (reference would
+    # divide by zero -> inf/nan miss).
+    pos = disc > 0.0
+    t = (-b - jnp.sqrt(jnp.where(pos, disc, 1.0))) \
+        / (2.0 * jnp.maximum(a, 1e-30))
+    valid = pos & (t > eps)
     return jnp.where(valid, t, jnp.inf)
 
 

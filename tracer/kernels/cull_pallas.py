@@ -56,6 +56,7 @@ def append_sentinel_tile(prims: Array) -> Array:
 
 def _cull_kernel(count_ref, cand_ref, rays_ref, prims_ref, t_ref, idx_ref):
     lane = jax.lax.broadcasted_iota(jnp.int32, (SUBLANES, LANES), 1)
+    p = pl.program_id(0)
 
     def extract(tile, j):
         """Column j of an (8,128) tile, broadcast to all lanes (static j)."""
@@ -71,11 +72,11 @@ def _cull_kernel(count_ref, cand_ref, rays_ref, prims_ref, t_ref, idx_ref):
     a = dx * dx + dy * dy + dz * dz
     inv_a = 1.0 / jnp.maximum(a, 1e-30)
 
-    nc = count_ref[0, 0]
+    nc = count_ref[p]
 
     def tile_body(k, carry):
         tb, ib = carry
-        tile_id = cand_ref[0, k]
+        tile_id = cand_ref[p, k]
         ptile = prims_ref[tile_id]
         base = tile_id * LANES
         for j in range(LANES):
@@ -104,29 +105,33 @@ def _cull_kernel(count_ref, cand_ref, rays_ref, prims_ref, t_ref, idx_ref):
 def _cull_packets(rays_packed: Array, prims: Array, cand: Array,
                   counts: Array, interpret: bool = False):
     g = rays_packed.shape[0]
-    return pl.pallas_call(
-        _cull_kernel,
+    # counts/cand ride as scalar-prefetch args (whole arrays in SMEM, indexed
+    # by program_id): per-block SMEM BlockSpecs with (1, K) shapes violate the
+    # TPU (8, 128) block-divisibility rule and fail to lower on hardware.
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
         grid=(g,),
         in_specs=[
-            pl.BlockSpec((1, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, cand.shape[1]), lambda i: (i, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 6, SUBLANES, LANES), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((1, 6, SUBLANES, LANES), lambda i, c0, c1: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, SUBLANES, LANES), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, SUBLANES, LANES), lambda i, c0, c1: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, SUBLANES, LANES), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, SUBLANES, LANES), lambda i, c0, c1: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
+    )
+    return pl.pallas_call(
+        _cull_kernel,
+        grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((g, SUBLANES, LANES), jnp.float32),
             jax.ShapeDtypeStruct((g, SUBLANES, LANES), jnp.int32),
         ),
         interpret=interpret,
-    )(counts, cand, rays_packed, prims)
+    )(counts.reshape(g), cand, rays_packed, prims)
 
 
 def pack_rays(o: Array, d: Array):
