@@ -80,16 +80,27 @@ elif mode == "perf":
 
         for K in [int(x) for x in sys.argv[3].split(",")]:
             try:
+                # phase A alone
+                pa = jax.jit(lambda o, dd: subpacket_candidates(
+                    o, dd, table, K, S)[0])
+                cand = jax.block_until_ready(pa(rays_s.origin, rays_s.direction))
+                t0 = time.time(); nrep = 5
+                for _ in range(nrep):
+                    cand = pa(rays_s.origin, rays_s.direction)
+                jax.block_until_ready(cand)
+                dt_a = (time.time() - t0) / nrep
+
                 fn = jax.jit(lambda rr, p: nearest_hit_tilecull(
                     rr, scene, p, table, max_candidates=K, subpackets=S))
                 rec, ovf = jax.block_until_ready(fn(rays_s, packed))
-                t0 = time.time(); nrep = 5
+                t0 = time.time()
                 for _ in range(nrep):
                     rec, ovf = fn(rays_s, packed)
                 jax.block_until_ready(rec.t)
                 dt = (time.time() - t0) / nrep
                 hits = np.isfinite(np.asarray(rec.t)).mean()
-                print(f"  K={K:4d}: {dt*1e3:7.2f} ms  {B/dt/1e6:7.1f} Mrays/s  "
+                print(f"  K={K:4d}: {dt*1e3:7.2f} ms ({dt_a*1e3:6.2f} phA) "
+                      f"{B/dt/1e6:7.1f} Mrays/s  "
                       f"overflow={bool(ovf)} hitfrac={hits:.3f}", flush=True)
             except Exception as e:
                 print(f"  K={K}: FAIL {type(e).__name__}: {e}", flush=True)

@@ -83,3 +83,55 @@ def trace_ray(origin, direction, centers, radii, albedo, depth, sampler):
                               depth - 1, sampler)
         return albedo[i] + 0.5 * reflected
     return sky(direction)
+
+
+def is_graze(origin, direction, center, radius, rel=1e-5):
+    """True when (ray, sphere) is a grazing contact whose f32 acceptance is
+    fusion-dependent: the f64 discriminant is positive but vanishing relative
+    to the cancelled b^2 term, so two valid f32 evaluation orders can land on
+    opposite sides of the ``disc > 0`` rule. Used by tests to tolerate
+    (only) these measure-zero flips between differently-fused pipelines."""
+    o = np.asarray(origin, np.float64)
+    d = np.asarray(direction, np.float64)
+    c = np.asarray(center, np.float64)
+    oc = o - c
+    a = float(d @ d)
+    b = 2.0 * float(oc @ d)
+    cq = float(oc @ oc) - float(radius) ** 2
+    disc = b * b - 4.0 * a * cq
+    return abs(disc) <= rel * max(b * b, 1.0)
+
+
+def assert_matches_brute_modulo_grazes(got, ref, rays, scene, rtol=2e-4):
+    """Hit masks / argmin indices must match brute force exactly except on
+    verified grazing contacts; t compared with the cancellation-aware rtol."""
+    t_g = np.asarray(got.t)
+    t_r = np.asarray(ref.t)
+    hit_g = np.isfinite(t_g)
+    hit_r = np.isfinite(t_r)
+    i_g = np.asarray(got.index)
+    i_r = np.asarray(ref.index)
+    o = np.asarray(rays.origin).reshape(-1, 3)
+    d = np.asarray(rays.direction).reshape(-1, 3)
+    centers = np.asarray(scene.centers)
+    radii = np.asarray(scene.radii)
+
+    flat_g, flat_r = t_g.ravel(), t_r.ravel()
+    for ray in np.where(hit_g.ravel() != hit_r.ravel())[0]:
+        sid = max(int(i_g.ravel()[ray]), int(i_r.ravel()[ray]))
+        assert is_graze(o[ray], d[ray], centers[sid], radii[sid]), (
+            f"ray {ray}: hit-mask mismatch (sphere {sid}) is not a graze")
+    both = (hit_g & hit_r).ravel()
+    idx_mismatch = both & (i_g.ravel() != i_r.ravel())
+    for ray in np.where(idx_mismatch)[0]:
+        # Different winners are admissible only if one is a graze or the two
+        # t values tie within tolerance.
+        tie = np.isclose(flat_g[ray], flat_r[ray], rtol=rtol)
+        gr = is_graze(o[ray], d[ray], centers[int(i_g.ravel()[ray])],
+                      radii[int(i_g.ravel()[ray])]) or \
+             is_graze(o[ray], d[ray], centers[int(i_r.ravel()[ray])],
+                      radii[int(i_r.ravel()[ray])])
+        assert tie or gr, f"ray {ray}: winner mismatch beyond tolerance"
+    agree = both & (i_g.ravel() == i_r.ravel())
+    np.testing.assert_allclose(flat_g[agree], flat_r[agree], rtol=rtol,
+                               atol=1e-5)

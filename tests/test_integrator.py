@@ -123,3 +123,18 @@ def test_accumulator_running_mean():
     np.testing.assert_allclose(np.asarray(acc.mean), 0.4, rtol=1e-6)
     acc2 = acc.reset_to(f2)
     np.testing.assert_allclose(np.asarray(acc2.mean), 0.6, rtol=1e-6)
+
+
+def test_compaction_preserves_radiance(rng):
+    # compact=True re-sorts/parks the wavefront between bounces; per-ray math
+    # is unchanged so the image must be bitwise equal with the brute oracle.
+    from tracer.integrator.wavefront import bounce_noise
+    cfg = TracerConfig(width=40, height=24, max_depth=4)
+    scene = random_scene(jax.random.PRNGKey(2), 16)
+    cam = Camera.default()
+    noise = bounce_noise(jax.random.PRNGKey(3), (cfg.height, cfg.width),
+                         cfg.max_depth)
+    f = lambda compact: render(
+        scene, cam, None, lambda s: (lambda r: nearest_hit_brute(r, s)),
+        cfg, noise=noise, compact=compact)
+    np.testing.assert_array_equal(np.asarray(f(False)), np.asarray(f(True)))

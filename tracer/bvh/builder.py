@@ -22,7 +22,8 @@ patching at all.
 The build runs on host (once per scene, latency-bound); the output is the
 flat SoA layout consumed by the device traversal kernels. A native C++
 builder (tracer/bvh/native) covers the build-ms metric at large N, and
-``refit_bvh`` updates bounds on-device for differentiable geometry.
+``tracer.bvh.refit.refit_bvh`` updates bounds on-device for differentiable
+geometry without a host rebuild.
 """
 
 from __future__ import annotations

@@ -66,15 +66,43 @@ def bounce_noise(key: Array, batch_shape, max_depth: int) -> Array:
     return jax.random.normal(key, (max_depth - 1, *batch_shape, 3), jnp.float32)
 
 
+def _compact_rays(rays: Ray, active: Array):
+    """Wavefront compaction permutation for one bounce (SURVEY.md section 2
+    row 7): reorder the flat wavefront so dead rays pack into contiguous
+    trailing subpackets and live rays cluster by direction.
+
+    Dead lanes are *parked* (origin far outside every scene, +x direction):
+    the frustum cull then assigns their subpackets empty candidate lists and
+    the adaptive kernels skip them in O(1), which is the static-shape TPU
+    analog of shrinking the batch. Returns (rays', inverse_permutation).
+    """
+    from tracer.core.sort import direction_morton_codes
+    o = rays.origin.reshape(-1, 3)
+    d = rays.direction.reshape(-1, 3)
+    a = active.reshape(-1)
+    code = direction_morton_codes(d).astype(jnp.uint32)
+    # dead bit above the 24 morton bits -> dead rays sort to the tail.
+    key = jnp.where(a, code, jnp.uint32(1 << 25) | code)
+    perm = jnp.argsort(key)
+    inv = jnp.argsort(perm)
+    ap = a[perm]
+    park_o = jnp.full((1, 3), 1.0e18, jnp.float32)
+    park_d = jnp.array([[1.0, 0.0, 0.0]], jnp.float32)
+    return Ray(origin=jnp.where(ap[:, None], o[perm], park_o),
+               direction=jnp.where(ap[:, None], d[perm], park_d)), inv
+
+
 def trace_radiance(nearest_hit: NearestHitFn, scene: Scene, rays: Ray,
                    key: Array = None, max_depth: int = 5,
-                   noise: Array = None) -> Array:
+                   noise: Array = None, compact: bool = False) -> Array:
     """Radiance for a wavefront of rays; batch shape (...,) -> (..., 3).
 
     ``nearest_hit`` is pluggable: brute force (the oracle) or BVH traversal.
     Matches the reference semantics in float space (see module docstring).
     Bounce directions come from ``noise`` (see :func:`bounce_noise`) if given,
-    else are drawn from ``key`` per bounce.
+    else are drawn from ``key`` per bounce. ``compact=True`` re-sorts the
+    wavefront between bounces (see :func:`_compact_rays`); results are
+    unchanged, bounce cost tracks the live-ray count.
     """
     batch_shape = rays.batch_shape
     radiance = jnp.zeros((*batch_shape, 3), jnp.float32)
@@ -82,7 +110,15 @@ def trace_radiance(nearest_hit: NearestHitFn, scene: Scene, rays: Ray,
     active = jnp.ones(batch_shape, dtype=bool)
 
     for bounce in range(max_depth):
-        rec = nearest_hit(rays)
+        if compact and bounce > 0:
+            crays, inv = _compact_rays(rays, active)
+            rec = nearest_hit(crays)
+            rec = jax.tree_util.tree_map(
+                lambda x: x[inv].reshape(*batch_shape, *x.shape[1:]), rec)
+            rec = rec.replace(hit=rec.hit & active,
+                              index=jnp.where(active, rec.index, -1))
+        else:
+            rec = nearest_hit(rays)
         hit_now = active & rec.hit
         miss_now = active & ~rec.hit
 
@@ -113,7 +149,8 @@ def trace_radiance(nearest_hit: NearestHitFn, scene: Scene, rays: Ray,
 
 def render(scene: Scene, camera: Camera, key: Array,
            nearest_hit_for: Callable[[Scene], NearestHitFn],
-           config: TracerConfig = DEFAULT_CONFIG, noise: Array = None) -> Array:
+           config: TracerConfig = DEFAULT_CONFIG, noise: Array = None,
+           compact: bool = False) -> Array:
     """One frame: (H, W, 3) float32 radiance in [0,1] (clamped).
 
     The whole frame is a single wavefront; this is the jit unit replacing the
@@ -122,7 +159,7 @@ def render(scene: Scene, camera: Camera, key: Array,
     rays = camera_rays(camera, config)
     nearest = nearest_hit_for(scene)
     img = trace_radiance(nearest, scene, rays, key, config.max_depth,
-                         noise=noise)
+                         noise=noise, compact=compact)
     return jnp.clip(img, 0.0, 1.0)
 
 

@@ -35,17 +35,22 @@ from tracer.intersect.sphere import ray_sphere_t, hit_record_from_t, EPSILON
 from tracer.scene.scene import Scene
 
 
-def nearest_hit_bvh(rays: Ray, scene: Scene, bvh: FlatBVH) -> HitRecord:
-    """Closest hit via stackless BVH traversal; batch shape preserved."""
-    batch_shape = rays.batch_shape
-    o = rays.origin.reshape(-1, 3)
-    d = rays.direction.reshape(-1, 3)
+def traverse_flat(o: Array, d: Array, node_min: Array, node_max: Array,
+                  escape: Array, leaf_start: Array, prim_idx: Array,
+                  centers_p: Array, radii_p: Array, leaf_size: int):
+    """Array-level stackless traversal core: flat (B, 3) rays against flat
+    BVH tables, returning (t_best (B,), idx_best (B,)).
+
+    ``centers_p``/``radii_p`` are sentinel-padded scene arrays
+    (tracer/bvh/flat.py padded_scene_arrays); ``prim_idx`` may contain the
+    sentinel slot. Exposed separately from :func:`nearest_hit_bvh` so
+    shard-local BVHs can run inside ``shard_map`` (tracer/dist/ring.py).
+    """
     B = o.shape[0]
-    M = bvh.num_nodes
-    L = bvh.leaf_size
+    M = node_min.shape[0]
+    L = leaf_size
 
     inv_d = safe_inv_dir(d)
-    centers_p, radii_p = padded_scene_arrays(scene.centers, scene.radii)
 
     def cond(state):
         node, _, _ = state
@@ -56,18 +61,18 @@ def nearest_hit_bvh(rays: Ray, scene: Scene, bvh: FlatBVH) -> HitRecord:
         nn = jnp.minimum(node, M - 1)          # clamp finished lanes
         active = node < M
 
-        bmin = bvh.node_min[nn]                # (B, 3) gather
-        bmax = bvh.node_max[nn]
+        bmin = node_min[nn]                    # (B, 3) gather
+        bmax = node_max[nn]
         tmin, tmax = ray_aabb_interval(o, inv_d, bmin, bmax)
         # Reference acceptance (src/hit.c:81) + result-preserving pruning.
         box_hit = (tmax >= tmin) & (tmax > EPSILON) & (tmin < t_best) & active
 
-        lstart = bvh.leaf_start[nn]            # (B,) gather
+        lstart = leaf_start[nn]                # (B,) gather
         is_leaf = lstart >= 0
 
         # Leaf test: the node's leaf_size primitive slots, masked.
         slot = jnp.maximum(lstart, 0)[:, None] + jnp.arange(L)[None, :]
-        pid = bvh.prim_idx[slot]               # (B, L) gather
+        pid = prim_idx[slot]                   # (B, L) gather
         t = ray_sphere_t(o[:, None, :], d[:, None, :],
                          centers_p[pid], radii_p[pid])       # (B, L)
         t = jnp.where((box_hit & is_leaf)[:, None], t, jnp.inf)
@@ -79,16 +84,32 @@ def nearest_hit_bvh(rays: Ray, scene: Scene, bvh: FlatBVH) -> HitRecord:
             better, jnp.take_along_axis(pid, j[:, None], axis=1)[:, 0], idx_best)
 
         descend = box_hit & ~is_leaf
-        nxt = jnp.where(descend, nn + 1, bvh.escape[nn])
+        nxt = jnp.where(descend, nn + 1, escape[nn])
         node = jnp.where(active, nxt, M)
         return node, t_best, idx_best
 
+    # Inits derive from the ray arrays so that under shard_map they carry the
+    # same varying-axis type as the body outputs (a fresh jnp.zeros would be
+    # replicated-typed and fail while_loop's carry check).
+    zero = (o[:, 0] * 0.0).astype(jnp.int32)
     init = (
-        jnp.zeros(B, jnp.int32),
-        jnp.full(B, jnp.inf, jnp.float32),
-        jnp.full(B, -1, jnp.int32),
+        zero,
+        o[:, 0] * 0.0 + jnp.inf,
+        zero - 1,
     )
     _, t_best, idx_best = jax.lax.while_loop(cond, body, init)
+    return t_best, idx_best
+
+
+def nearest_hit_bvh(rays: Ray, scene: Scene, bvh: FlatBVH) -> HitRecord:
+    """Closest hit via stackless BVH traversal; batch shape preserved."""
+    batch_shape = rays.batch_shape
+    o = rays.origin.reshape(-1, 3)
+    d = rays.direction.reshape(-1, 3)
+    centers_p, radii_p = padded_scene_arrays(scene.centers, scene.radii)
+    t_best, idx_best = traverse_flat(
+        o, d, bvh.node_min, bvh.node_max, bvh.escape, bvh.leaf_start,
+        bvh.prim_idx, centers_p, radii_p, bvh.leaf_size)
 
     flat = Ray(origin=o, direction=d)
     rec = hit_record_from_t(flat, t_best, idx_best, scene.centers)

@@ -11,29 +11,29 @@ lose to TPU hardware realities:
   * the 1024-ray cull kernel (cull_pallas.py) removes the syncs but tests
     every candidate against 8x more rays than share the frustum.
 
-This kernel shrinks the frustum to **128-ray subpackets** and restates the
-sphere test so the per-(ray, prim) work rides the **MXU**:
+This kernel shrinks the frustum to **128-ray subpackets** and computes the
+(128 rays x 128 prims) sphere tests as dense **outer-product broadcasts** on
+the VPU:
 
     for the quadratic  t = (-b' - sqrt(b'^2 - a c)) / a,  b' = oc.d:
-        b'   = (o.d)        - [c.d]            <- matmul D(128,8) @ B(8,128)
-        c    = (|o|^2)      + [-2 o.c + |c|^2 - r^2]   <- second matmul
-    per-ray scalars in parens broadcast over the prim lane axis; bracketed
-    terms are (128 rays x 128 prims) MXU products against a per-tile operand
-    B = [cx; cy; cz; |c|^2 - r^2; 0...] shared by all rays.
+        c.d           = dx*cx + dy*cy + dz*cz       ray (128,1) columns x
+        -2 o.c + ccr  = -2(ox*cx + oy*cy + oz*cz)+ccr   prim (1,128) rows
+        b' = (o.d) - [c.d];   c = (|o|^2) + [-2 o.c + ccr]
 
-Per 128-prim candidate tile that is 2 tiny matmuls + ~16 VPU ops per pair and
-ZERO scalar synchronization; candidate tiles come precomputed from phase A
-(tracer/intersect/cull.py, conservative frustum culling of the SAH BVH's
-leaf boxes), so the tree still decides *what* to test -- the reference's
-O(log n) scaling -- while the kernel only *tests*.
+~27 f32 VPU ops per pair, zero scalar synchronization, zero gathers inside
+the test. (An MXU dot_general formulation was tried and rejected: per-tile
+(128,8)@(8,128) dots are MXU-latency-bound, and the TPU's default bf16 dot
+precision corrupts the disc = b'^2 - a*c cancellation -- false hits on real
+hardware that the interpreter never shows.) Candidate tiles come precomputed
+from phase A (tracer/intersect/cull.py, conservative frustum culling of the
+SAH BVH's leaf boxes), so the tree still decides *what* to test -- the
+reference's O(log n) scaling -- while the kernel only *tests*.
 
-Number semantics: identical acceptance rule to the reference
-(disc > 0, near root only, t > EPSILON; src/hit.c:19-39) but the MXU dot
-rounds differently from the elementwise oc.d by ~1 ulp, so results can
-differ from brute force for razor-edge grazing rays; the wrapper recomputes
-the reported t from the winning sphere id with the exact brute formulation,
-so any deviation is confined to near-measure-zero tie/graze flips (tests
-assert this).
+Number semantics: identical acceptance rule to the reference (disc > 0, near
+root only, t > EPSILON; src/hit.c:19-39), evaluated in the same f32 ops
+modulo fusion order; the wrapper recomputes the reported t from the winning
+sphere id with the exact brute formulation, so any deviation from brute
+force is confined to measure-zero graze/tie flips (tests assert this).
 
 Candidate lists ride in SMEM as count-embedded rows ``[count, id0, id1, ...]``
 padded to a 128 multiple (per-block SMEM windows must obey the (8,128) tile
@@ -130,13 +130,15 @@ def subpacket_candidates(o: Array, d: Array, table: LeafTable,
     counts = tile_hit.sum(-1, dtype=jnp.int32)
     overflow = jnp.max(counts) > K
 
+    # Stream-compact surviving tile ids into the first count slots, ascending
+    # (cumsum positions + scatter-min). O(P*T), far cheaper than the top_k
+    # sort it replaces; survivors past the budget land in the K trash slot.
+    pos = jnp.cumsum(tile_hit, axis=-1, dtype=jnp.int32)   # 1-based ranks
+    slot = jnp.minimum(jnp.where(tile_hit, pos - 1, K), K)
     tid = jnp.arange(T, dtype=jnp.int32)
-    score = jnp.where(tile_hit, T - tid, 0)
-    kk = min(K, T)
-    vals, idx = jax.lax.top_k(score, kk)
-    cand = jnp.where(vals > 0, idx, T).astype(jnp.int32)
-    if kk < K:                                    # tiny scenes: T < K budget
-        cand = jnp.pad(cand, ((0, 0), (0, K - kk)), constant_values=T)
+    cand = jnp.full((tile_hit.shape[0], K + 1), T, jnp.int32)
+    cand = cand.at[jnp.arange(tile_hit.shape[0])[:, None], slot].min(
+        jnp.broadcast_to(tid, tile_hit.shape))[:, :K]
 
     row = jnp.concatenate([jnp.minimum(counts, K)[:, None], cand], axis=1)
     kp = -(-(K + 1) // LANES) * LANES
@@ -149,7 +151,6 @@ def _tilecull_kernel(cand_ref, rays_ref, prims_ref, t_ref, slot_ref, *,
     """One grid step = ``subpackets`` 128-ray frustums, each walking its own
     candidate-tile list with a scalar fori_loop (no vector->scalar syncs)."""
     lane = jax.lax.broadcasted_iota(jnp.int32, (SUBPACKET, LANES), 1)
-    nt = (((1,), (0,)), ((), ()))       # (128,8) @ (8,128) contraction
 
     t_cols = []
     slot_cols = []
@@ -163,14 +164,23 @@ def _tilecull_kernel(cand_ref, rays_ref, prims_ref, t_ref, slot_ref, *,
         inva = sc[:, 3:4]
         nc = cand_ref[0, s, 0]
 
-        def body(k, carry, a1=a1, a2=a2, od=od, oo=oo, av=av, inva=inva, s=s):
+        dx, dy, dz = a1[:, 0:1], a1[:, 1:2], a1[:, 2:3]      # (128, 1) cols
+        nox2, noy2, noz2 = a2[:, 0:1], a2[:, 1:2], a2[:, 2:3]  # -2 * origin
+
+        def body(k, carry, dx=dx, dy=dy, dz=dz, nox2=nox2, noy2=noy2,
+                 noz2=noz2, od=od, oo=oo, av=av, inva=inva, s=s):
             tb, ib = carry
             tid = cand_ref[0, s, k + 1]
             btile = prims_ref[tid]                       # (8, 128)
-            m1 = jax.lax.dot_general(a1, btile, nt,
-                                     preferred_element_type=jnp.float32)
-            m2 = jax.lax.dot_general(a2, btile, nt,
-                                     preferred_element_type=jnp.float32)
+            cx, cy, cz = btile[0:1, :], btile[1:2, :], btile[2:3, :]  # rows
+            ccr = btile[3:4, :]                          # |c|^2 - r^2
+            # (ray column) x (prim row) outer-product broadcasts: pure f32
+            # VPU, no MXU. An MXU dot_general formulation measured *slower*
+            # here (the per-tile (128,8)@(8,128) is latency-bound) and the
+            # TPU's default bf16 dot precision corrupts the disc = bp^2-a*cq
+            # cancellation outright (false hits on hardware).
+            m1 = dx * cx + dy * cy + dz * cz             # c.d      (128, 128)
+            m2 = nox2 * cx + noy2 * cy + noz2 * cz + ccr  # -2o.c + ccr
             bp = od - m1                                 # oc.d
             cq = m2 + oo                                 # |oc|^2 - r^2
             disc = bp * bp - av * cq                     # disc / 4
