@@ -51,29 +51,73 @@ def _config(args):
                         max_depth=args.depth)
 
 
+def _make_nearest(args, scene, cam):
+    """Resolve --impl to a ``nearest_hit_for(scene)`` factory + build info.
+
+    impl 'auto' picks tilecull on TPU (the fast path) and the pure-JAX
+    traversal elsewhere; 'brute' is the reference's bvh==NULL toggle
+    (src/renderer.c:29-44).
+    """
+    import jax
+    from tracer.intersect.brute import nearest_hit_brute
+
+    impl = args.impl
+    if impl == "auto":
+        impl = ("tilecull" if jax.devices()[0].platform == "tpu"
+                else "traverse") if args.bvh else "brute"
+    if not args.bvh or impl == "brute":
+        return (lambda s: (lambda r: nearest_hit_brute(r, s))), {
+            "impl": "brute", "bvh_build_ms": 0.0}
+
+    from tracer.bvh.builder import build_bvh
+    t0 = time.time()
+    bvh = build_bvh(np.asarray(scene.centers), np.asarray(scene.radii),
+                    leaf_size=args.leaf_size,
+                    near_point=tuple(np.asarray(cam.position)))
+    build_ms = (time.time() - t0) * 1000.0
+    print(f"BVH built in {build_ms:.1f} ms "       # src/main.c:223-228
+          f"({bvh.num_nodes} nodes)")
+    info = {"impl": impl, "bvh_build_ms": build_ms,
+            "bvh_nodes": bvh.num_nodes}
+
+    if impl == "traverse":
+        from tracer.intersect.traverse import nearest_hit_bvh
+        return (lambda s: (lambda r: nearest_hit_bvh(r, s, bvh))), info
+    if impl == "pallas":
+        from tracer.kernels import pack_bvh, nearest_hit_bvh_pallas
+        packed = pack_bvh(scene, bvh)
+        return (lambda s: (lambda r: nearest_hit_bvh_pallas(
+            r, s, packed))), info
+    if impl == "tilecull":
+        from tracer.intersect.cull import build_leaf_table
+        from tracer.kernels import pack_bvh
+        from tracer.kernels.tilecull import nearest_hit_tilecull
+        packed = pack_bvh(scene, bvh)
+        table = build_leaf_table(bvh)
+        k = min(args.max_candidates, table.num_tiles)
+
+        def nearest_for(s):
+            def nearest(r):
+                rec, _ = nearest_hit_tilecull(r, s, packed, table,
+                                              max_candidates=k)
+                return rec
+            return nearest
+        return nearest_for, info
+    raise SystemExit(f"unknown --impl {impl}")
+
+
 def cmd_render(args):
     import jax
     import jax.numpy as jnp
     from tracer.integrator.wavefront import render, Accumulator, bounce_noise
-    from tracer.intersect.brute import nearest_hit_brute
 
     cfg = _config(args)
     scene, cam = _make_scene_camera(args)
-
-    if args.bvh:
-        from tracer.bvh.builder import build_bvh
-        from tracer.intersect.traverse import nearest_hit_bvh
-        t0 = time.time()
-        bvh = build_bvh(np.asarray(scene.centers), np.asarray(scene.radii),
-                        near_point=tuple(np.asarray(cam.position)))
-        print(f"BVH built in {time.time() - t0:.3f} s "  # src/main.c:223-228
-              f"({bvh.num_nodes} nodes)")
-        nearest = lambda s: (lambda r: nearest_hit_bvh(r, s, bvh))
-    else:
-        nearest = lambda s: (lambda r: nearest_hit_brute(r, s))
+    nearest, info = _make_nearest(args, scene, cam)
 
     frame = jax.jit(lambda s, c, noise: render(s, c, None, nearest, cfg,
-                                               noise=noise))
+                                               noise=noise,
+                                               compact=args.compact))
 
     # Fly-through trajectory: move along the camera's forward axis by
     # --fly-speed per frame (the scripted analog of WASD, src/main.c:288-315);
@@ -81,8 +125,22 @@ def cmd_render(args):
     # (src/main.c:241-273).
     acc = Accumulator.zero(cfg.height, cfg.width)
     key = jax.random.PRNGKey(args.seed + 1)
+    start_frame = 0
+    if args.resume and args.checkpoint:
+        import os
+        if os.path.exists(args.checkpoint):
+            from tracer.checkpoint import load_pytree
+            (acc, key), meta = load_pytree(args.checkpoint, (acc, key))
+            start_frame = int(meta["frame"])
+            print(f"resumed accumulation at frame {start_frame}")
+
+    profiler_cm = None
+    if args.profile:
+        jax.profiler.start_trace(args.profile)
+        profiler_cm = True
+
     times = []
-    for i in range(args.frames):
+    for i in range(start_frame, args.frames):
         key, sub = jax.random.split(key)
         noise = bounce_noise(sub, (cfg.height, cfg.width), cfg.max_depth)
         moving = args.fly_speed != 0.0 and i > 0
@@ -93,11 +151,33 @@ def cmd_render(args):
         img = jax.block_until_ready(frame(scene, cam, noise))
         times.append(time.time() - t0)
         acc = acc.reset_to(img) if (moving or i == 0) else acc.add(img)
+        if args.checkpoint:
+            from tracer.checkpoint import save_pytree
+            save_pytree(args.checkpoint, (acc, key), meta={"frame": i + 1})
+
+    if profiler_cm:
+        jax.profiler.stop_trace()
+        print(f"profiler trace written to {args.profile}")
 
     _save_png(acc.mean, args.out)
     times = times[1:] or times
-    print(f"frames: {args.frames}, mean frame time {np.mean(times):.4f} s "
-          f"({1.0 / np.mean(times):.2f} FPS)")   # src/main.c:416-421
+    mean_t = float(np.mean(times))
+    rays_per_frame = cfg.width * cfg.height * cfg.max_depth
+    print(f"frames: {args.frames}, mean frame time {mean_t:.4f} s "
+          f"({1.0 / mean_t:.2f} FPS)")           # src/main.c:416-421
+    if args.metrics:
+        with open(args.metrics, "w") as f:
+            json.dump({
+                "width": cfg.width, "height": cfg.height,
+                "max_depth": cfg.max_depth, "spheres": args.spheres,
+                "frames": args.frames, "compact": bool(args.compact),
+                "mean_frame_s": round(mean_t, 5),
+                "fps": round(1.0 / mean_t, 2),
+                "mrays_per_s": round(rays_per_frame / mean_t / 1e6, 2),
+                "platform": jax.devices()[0].platform,
+                **info,
+            }, f, indent=2)
+        print(f"wrote {args.metrics}")
 
 
 def cmd_bench(args):
@@ -139,7 +219,10 @@ def cmd_fit(args):
     _save_png(soft_render(init, cam, soft, cfg), "fit_init.png")
 
     res = fit_scene(target, init, cam, steps=args.steps, lr=args.lr,
-                    soft=soft, config=cfg)
+                    soft=soft, config=cfg,
+                    checkpoint_path=args.checkpoint,
+                    checkpoint_every=args.checkpoint_every,
+                    resume=args.resume)
     _save_png(soft_render(res.scene, cam, soft, cfg), "fit_final.png")
     print(f"loss: {res.losses[0]:.6f} -> {res.losses[-1]:.6f} "
           f"({args.steps} steps)")
@@ -196,6 +279,23 @@ def main(argv=None):
                     help="forward units/frame (scripted fly-through)")
     sp.add_argument("--bvh", action=argparse.BooleanOptionalAction,
                     default=True, help="the 'B' toggle (src/main.c:317-320)")
+    sp.add_argument("--impl", default="auto",
+                    choices=["auto", "brute", "traverse", "pallas",
+                             "tilecull"],
+                    help="intersector (auto: tilecull on TPU)")
+    sp.add_argument("--leaf-size", type=int, default=16)
+    sp.add_argument("--max-candidates", type=int, default=128,
+                    help="tilecull per-subpacket tile budget")
+    sp.add_argument("--compact", action=argparse.BooleanOptionalAction,
+                    default=False, help="wavefront compaction between bounces")
+    sp.add_argument("--profile", default=None, metavar="DIR",
+                    help="capture a jax.profiler trace into DIR")
+    sp.add_argument("--checkpoint", default=None,
+                    help="accumulation checkpoint path (npz)")
+    sp.add_argument("--resume", action="store_true",
+                    help="resume accumulation from --checkpoint")
+    sp.add_argument("--metrics", default=None,
+                    help="write frame-time/FPS JSON here")
     sp.add_argument("--out", default="render.png")
     sp.set_defaults(fn=cmd_render)
 
@@ -212,6 +312,10 @@ def main(argv=None):
     sp.add_argument("--lr", type=float, default=3e-2)
     sp.add_argument("--sharpness", type=float, default=12.0)
     sp.add_argument("--tau", type=float, default=0.3)
+    sp.add_argument("--checkpoint", default=None,
+                    help="optimizer-state checkpoint path (npz)")
+    sp.add_argument("--checkpoint-every", type=int, default=50)
+    sp.add_argument("--resume", action="store_true")
     sp.set_defaults(fn=cmd_fit)
 
     sp = sub.add_parser("viz", help="BVH wireframe overlay + stats")
