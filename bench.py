@@ -6,11 +6,17 @@ the SAH BVH at n=100k spheres, on the reference's own benchmark distribution
 cube directions; src/benchmark.c:172-223,283-332). The reference CPU achieves
 7.85 Mrays/s at this size (results/benchmark_data.txt:3).
 
+Path selection (round-3): the leaf-cull kernel (tracer/kernels/leafcull.py)
+via its lite (t, id) wrapper, on octahedral-sorted, cell-bucketed rays —
+the fastest verified path per tools/headtohead.py. Falls back to the packet
+traversal kernel, then pure-JAX traversal, if the fast path fails.
+
 Prints exactly ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
 
 Timing amortizes the host<->device dispatch latency (large batches, several
-chained calls, block once at the end) and excludes compilation.
+chained calls, block once at the end) and excludes compilation and the
+scene-independent ray sort (reported separately in extras).
 """
 
 import json
@@ -22,10 +28,22 @@ import numpy as np
 BASELINE_MRAYS = 7.85  # reference BVH @ 100k spheres, results/benchmark_data.txt:3
 N_SPHERES = 100_000
 WORLD = 1000.0
+B = 512 * 1024
+SP = 128            # leafcull subpacket (rays per frustum)
+CELL_BITS = 8       # bucket_pad_sorted direction cells
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
+
+
+def _timeit(jax, fn, *args, n_calls=5):
+    out = jax.block_until_ready(fn(*args))
+    t0 = time.perf_counter()
+    for _ in range(n_calls):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / n_calls, out
 
 
 def main():
@@ -33,7 +51,6 @@ def main():
     import jax.numpy as jnp
 
     from tracer.core.types import Ray
-    from tracer.core.sort import sort_rays_by_direction
     from tracer.bvh.builder import build_bvh
     from tracer.scene.scene import benchmark_scene
 
@@ -44,57 +61,106 @@ def main():
     r = np.asarray(scene.radii)
 
     t0 = time.time()
-    bvh = build_bvh(c, r)
+    bvh = build_bvh(c, r, leaf_size=32)
     build_ms = (time.time() - t0) * 1000.0
     extras["bvh_build_ms"] = round(build_ms, 1)
     log(f"BVH build: {build_ms:.0f} ms, nodes={bvh.num_nodes}")
 
     # Reference ray distribution: origin rays, uniform-cube directions
-    # (src/benchmark.c:179-186), pre-sorted for packet coherence.
+    # (src/benchmark.c:179-186).
     rng = np.random.default_rng(0)
-    from tracer.kernels.traverse_pallas import PACKET
-    B = 512 * PACKET
     d = rng.uniform(-1, 1, (B, 3)).astype(np.float32)
     d /= np.linalg.norm(d, axis=-1, keepdims=True)
-    rays = Ray(origin=jnp.zeros((B, 3), jnp.float32), direction=jnp.asarray(d))
-    rays_sorted, _ = sort_rays_by_direction(rays)
-    rays_sorted = jax.block_until_ready(rays_sorted)
+    origin = jnp.zeros((B, 3), jnp.float32)
+    direction = jnp.asarray(d)
 
     value = None
     try:
-        from tracer.kernels import pack_bvh, nearest_hit_bvh_pallas
-        packed = jax.jit(pack_bvh)(scene, bvh)
+        from tracer.core.sort import octahedral_codes, bucket_pad_sorted
+        from tracer.kernels.leafcull import (build_cull_tables,
+                                             nearest_hit_leafcull_t,
+                                             leaf_candidates,
+                                             pack_ray_features,
+                                             _leafcull_call)
 
-        fn = jax.jit(lambda rr, p, s: nearest_hit_bvh_pallas(rr, s, p).t)
-        out = jax.block_until_ready(fn(rays_sorted, packed, scene))
-        hits = int(np.isfinite(np.asarray(out)).sum())
-        log(f"pallas kernel warm; hit fraction {hits / B:.3f}")
+        tables = build_cull_tables(scene, bvh)
+        log(f"cull tables: {tables.num_chunks} chunk(s), "
+            f"{tables.num_real_leaves} leaves, "
+            f"{tables.entries.nbytes / 1e6:.1f} MB")
 
-        n_calls = 5
-        t0 = time.time()
-        for _ in range(n_calls):
-            out = fn(rays_sorted, packed, scene)
-        jax.block_until_ready(out)
-        dt = (time.time() - t0) / n_calls
+        prep = jax.jit(lambda o, d: bucket_pad_sorted(
+            o[jnp.argsort(octahedral_codes(d))],
+            d[jnp.argsort(octahedral_codes(d))],
+            jnp.sort(octahedral_codes(d)), SP, cell_bits=CELL_BITS))
+        jax.block_until_ready(prep(origin, direction))  # compile warmup
+        t0 = time.perf_counter()
+        op, dp, dest = jax.block_until_ready(prep(origin, direction))
+        extras["sort_ms"] = round((time.perf_counter() - t0) * 1000.0, 1)
+        rays = Ray(origin=op, direction=dp)
+
+        fn = jax.jit(lambda rr: nearest_hit_leafcull_t(
+            rr, tables, max_groups=48, max_candidates=119,
+            subpackets=8, subpacket=SP)[0])
+        dt, t = _timeit(jax, fn, rays)
+        hits = int(np.isfinite(np.asarray(t)[np.asarray(dest)]).sum())
+        _, _, ovf = nearest_hit_leafcull_t(rays, tables, max_groups=48,
+                                           max_candidates=119, subpackets=8,
+                                           subpacket=SP)
         value = B / dt / 1e6
-        extras["path"] = "pallas_packet_kernel"
-        log(f"pallas: {dt * 1e3:.1f} ms/call -> {value:.1f} Mrays/s")
-    except Exception as e:  # pragma: no cover - fallback path
-        log(f"pallas path failed ({type(e).__name__}: {e}); "
-            "falling back to pure-JAX traversal")
-        from tracer.intersect.traverse import nearest_hit_bvh
-        Bs = B // 8
-        small = Ray(origin=rays_sorted.origin[:Bs],
-                    direction=rays_sorted.direction[:Bs])
-        fn = jax.jit(lambda rr, s, b: nearest_hit_bvh(rr, s, b).t)
-        out = jax.block_until_ready(fn(small, scene, bvh))
-        t0 = time.time()
-        for _ in range(3):
-            out = fn(small, scene, bvh)
-        jax.block_until_ready(out)
-        dt = (time.time() - t0) / 3
-        value = Bs / dt / 1e6
-        extras["path"] = "jnp_while_loop"
+        extras["path"] = "leafcull_lite"
+        extras["overflow"] = bool(ovf)
+        extras["hit_fraction"] = round(hits / B, 4)
+
+        # Per-phase split (VERDICT r2 ask): phase A vs kernel.
+        S = 8
+        feats, g, pad = pack_ray_features(op, dp, S, SP)
+        o2 = jnp.pad(op, ((0, pad), (0, 0)), mode="edge")
+        d2 = jnp.pad(dp, ((0, pad), (0, 0)), mode="edge")
+        fA = jax.jit(lambda o, d: leaf_candidates(o, d, tables, 48, 119,
+                                                  SP)[0])
+        dtA, rows = _timeit(jax, fA, o2, d2)
+        rowsk = rows.reshape(g, S, tables.num_chunks,
+                             rows.shape[-1]).transpose(0, 2, 1, 3)
+        rowsk, feats = jax.block_until_ready((rowsk, feats))
+        fB = lambda f, rr: _leafcull_call(
+            f, rr, tables.entries, S, SP, tables.leaf_size,
+            tables.leaves_per_chunk, tables.leaves_per_group)
+        dtB, _ = _timeit(jax, fB, feats, rowsk)
+        extras["phase_a_ms"] = round(dtA * 1e3, 2)
+        extras["kernel_ms"] = round(dtB * 1e3, 2)
+        log(f"leafcull: {dt * 1e3:.1f} ms/call -> {value:.1f} Mrays/s "
+            f"(phase A {dtA * 1e3:.1f} ms, kernel {dtB * 1e3:.1f} ms, "
+            f"hit fraction {hits / B:.3f}, overflow={bool(ovf)})")
+    except Exception as e:
+        import traceback
+        traceback.print_exc(file=sys.stderr)
+        log(f"leafcull path failed ({type(e).__name__}: {e}); "
+            "falling back to packet kernel")
+
+    if value is None:
+        try:
+            from tracer.core.sort import sort_rays_by_direction
+            from tracer.kernels import pack_bvh, nearest_hit_bvh_pallas
+            rays = Ray(origin=origin, direction=direction)
+            rays_sorted, _ = sort_rays_by_direction(rays)
+            rays_sorted = jax.block_until_ready(rays_sorted)
+            packed = jax.jit(pack_bvh)(scene, bvh)
+            fn = jax.jit(lambda rr: nearest_hit_bvh_pallas(rr, scene,
+                                                           packed).t)
+            dt, _ = _timeit(jax, fn, rays_sorted)
+            value = B / dt / 1e6
+            extras["path"] = "pallas_packet_kernel"
+            log(f"packet: {dt * 1e3:.1f} ms/call -> {value:.1f} Mrays/s")
+        except Exception as e:  # pragma: no cover - fallback path
+            log(f"packet path failed ({type(e).__name__}: {e}); "
+                "falling back to pure-JAX traversal")
+            from tracer.intersect.traverse import nearest_hit_bvh
+            Bs = B // 8
+            small = Ray(origin=origin[:Bs], direction=direction[:Bs])
+            fn = jax.jit(lambda rr: nearest_hit_bvh(rr, scene, bvh).t)
+            dt, _ = _timeit(jax, fn, small, n_calls=3)
+            value = Bs / dt / 1e6
+            extras["path"] = "jnp_while_loop"
 
     print(json.dumps({
         "metric": "bvh_closest_hit_throughput_100k_spheres",

@@ -59,6 +59,10 @@ def test_cull_is_conservative(rng, n, world, span):
         want = np.zeros(lo.shape[0], bool)
         for r in range(p * PACKET, (p + 1) * PACKET):
             want |= _per_ray_slab_hit(o[r], d[r], lo, hi)
+        # The scalar slab oracle also accepts inverted padding boxes as
+        # all-space; the cull masks them explicitly (ADVICE r2), so only
+        # real leaves participate in the conservativeness contract.
+        want[table.num_leaves:] = False
         missed = want & ~got[p]
         assert not missed.any(), f"packet {p} lost leaves {np.where(missed)[0]}"
 

@@ -54,26 +54,31 @@ def _config(args):
 def _make_nearest(args, scene, cam):
     """Resolve --impl to a ``nearest_hit_for(scene)`` factory + build info.
 
-    impl 'auto' picks tilecull on TPU (the fast path) and the pure-JAX
-    traversal elsewhere; 'brute' is the reference's bvh==NULL toggle
-    (src/renderer.c:29-44).
+    impl 'auto' picks leafcull on TPU (the fast path, see BENCH) and the
+    pure-JAX traversal elsewhere; 'brute' is the reference's bvh==NULL
+    toggle (src/renderer.c:29-44).
     """
     import jax
     from tracer.intersect.brute import nearest_hit_brute
 
     impl = args.impl
     if impl == "auto":
-        impl = ("tilecull" if jax.devices()[0].platform == "tpu"
+        impl = ("leafcull" if jax.devices()[0].platform == "tpu"
                 else "traverse") if args.bvh else "brute"
     if not args.bvh or impl == "brute":
         return (lambda s: (lambda r: nearest_hit_brute(r, s))), {
             "impl": "brute", "bvh_build_ms": 0.0}
 
     from tracer.bvh.builder import build_bvh
+    # Materialize device arrays BEFORE the build timer: the first transfer
+    # initializes the TPU backend (seconds to minutes over a tunnel) and
+    # must not be billed to the BVH build (src/main.c:223-228 parity).
+    centers = np.asarray(scene.centers)
+    radii = np.asarray(scene.radii)
+    near = tuple(np.asarray(cam.position))
     t0 = time.time()
-    bvh = build_bvh(np.asarray(scene.centers), np.asarray(scene.radii),
-                    leaf_size=args.leaf_size,
-                    near_point=tuple(np.asarray(cam.position)))
+    bvh = build_bvh(centers, radii, leaf_size=args.leaf_size,
+                    near_point=near)
     build_ms = (time.time() - t0) * 1000.0
     print(f"BVH built in {build_ms:.1f} ms "       # src/main.c:223-228
           f"({bvh.num_nodes} nodes)")
@@ -100,6 +105,26 @@ def _make_nearest(args, scene, cam):
             def nearest(r):
                 rec, _ = nearest_hit_tilecull(r, s, packed, table,
                                               max_candidates=k)
+                return rec
+            return nearest
+        return nearest_for, info
+    if impl == "leafcull":
+        from tracer.kernels.leafcull import (build_cull_tables,
+                                             nearest_hit_leafcull)
+        # leafcull wants even leaf_size dividing 128 with >= 4 leaves/lane
+        # row; rebuild at 32 if the CLI leaf size is incompatible.
+        if args.leaf_size % 2 or 128 % args.leaf_size or args.leaf_size > 32:
+            bvh = build_bvh(centers, radii, leaf_size=32, near_point=near)
+        tables = build_cull_tables(scene, bvh)
+
+        def nearest_for(s):
+            def nearest(r):
+                # Unchecked call: the render loop jits this, so the
+                # host-level budget-escalation driver can't run here.
+                # Correctness is kept by the group-mode fallback; the
+                # overflow flag only fires for >119 groups per chunk in
+                # one subpacket, beyond any coherent camera frustum.
+                rec, _ = nearest_hit_leafcull(r, s, tables)
                 return rec
             return nearest
         return nearest_for, info
@@ -281,8 +306,8 @@ def main(argv=None):
                     default=True, help="the 'B' toggle (src/main.c:317-320)")
     sp.add_argument("--impl", default="auto",
                     choices=["auto", "brute", "traverse", "pallas",
-                             "tilecull"],
-                    help="intersector (auto: tilecull on TPU)")
+                             "tilecull", "leafcull"],
+                    help="intersector (auto: leafcull on TPU)")
     sp.add_argument("--leaf-size", type=int, default=16)
     sp.add_argument("--max-candidates", type=int, default=128,
                     help="tilecull per-subpacket tile budget")

@@ -50,3 +50,82 @@ def sort_rays_by_direction(rays: Ray):
     perm = jnp.argsort(code)
     inv = jnp.argsort(perm)
     return Ray(origin=o[perm], direction=d[perm]), inv
+
+
+def _part_bits16(v: Array) -> Array:
+    """Spread 16 bits of v over 32 bits (1 zero bit between each)."""
+    v = v.astype(jnp.uint32) & 0xFFFF
+    v = (v | (v << 8)) & 0x00FF00FF
+    v = (v | (v << 4)) & 0x0F0F0F0F
+    v = (v | (v << 2)) & 0x33333333
+    v = (v | (v << 1)) & 0x55555555
+    return v
+
+
+def octahedral_codes(d: Array) -> Array:
+    """32-bit Morton code of the octahedral direction mapping, (B,) uint32.
+
+    The octahedral map folds the unit sphere onto a square with far better
+    area uniformity than the per-component quantization above, so equal-code
+    prefixes correspond to genuinely narrow direction cones — what the
+    frustum-cull kernels (tilecull/leafcull) need for tight candidate sets.
+    16 bits per octahedral axis.
+    """
+    s = jnp.abs(d).sum(-1)
+    u = d[:, 0] / s
+    v = d[:, 1] / s
+    neg = d[:, 2] < 0
+    uu = jnp.where(neg, (1 - jnp.abs(v)) * jnp.sign(u), u)
+    vv = jnp.where(neg, (1 - jnp.abs(u)) * jnp.sign(v), v)
+    qu = jnp.clip((uu * 0.5 + 0.5) * 65535, 0, 65535).astype(jnp.uint32)
+    qv = jnp.clip((vv * 0.5 + 0.5) * 65535, 0, 65535).astype(jnp.uint32)
+    return _part_bits16(qu) | (_part_bits16(qv) << 1)
+
+
+def bucket_pad_sorted(o: Array, d: Array, codes: Array, subpacket: int,
+                      cell_bits: int = 8):
+    """Pad a code-sorted ray stream at coarse direction-cell boundaries.
+
+    The cull kernels (tilecull/leafcull) treat every ``subpacket``
+    consecutive rays as one frustum. A pure Morton sort leaves occasional
+    subpackets straddling big code gaps (quadrant seams / empty code
+    ranges), whose "cone" then spans the whole sphere and whose candidate
+    set explodes — measured at 100k spheres these ~4% of subpackets cost
+    ~half the kernel time. Inserting <subpacket padding rays at the
+    boundaries of 2^cell_bits Morton-prefix cells guarantees every
+    subpacket lies inside one compact cell.
+
+    o/d must already be sorted by ``codes`` (ascending). Padding slots
+    replicate the previous real ray (coherent, harmless). Returns
+    (o_padded, d_padded, dest) where dest (B,) i32 maps each input ray to
+    its slot in the padded stream; padded length is the static
+    B + 2^cell_bits * subpacket.
+    """
+    b = o.shape[0]
+    ncells = 1 << cell_bits
+    cell = (codes >> (32 - cell_bits)).astype(jnp.int32)
+    cnt = jnp.bincount(cell, length=ncells)
+    pad = (subpacket - cnt % subpacket) % subpacket
+    pad_before = jnp.concatenate(
+        [jnp.zeros((1,), pad.dtype), jnp.cumsum(pad)[:-1]])
+    dest = jnp.arange(b, dtype=jnp.int32) + pad_before[cell].astype(jnp.int32)
+    bp = b + ncells * subpacket
+    pos = jnp.arange(bp, dtype=jnp.int32)
+    src = jnp.clip(jnp.searchsorted(dest, pos, side="right") - 1, 0, b - 1)
+    return o[src], d[src], dest
+
+
+def sort_rays_octahedral(rays: Ray):
+    """Sort a flat ray batch by octahedral-Morton direction code.
+
+    Preferred pre-pass for the cull kernels: measured at 100k spheres /
+    64-ray subpackets it cuts the p95 candidate count vs the cube-Morton
+    sort above. Returns (sorted_rays, inverse_permutation) like
+    ``sort_rays_by_direction``.
+    """
+    o = rays.origin.reshape(-1, 3)
+    d = rays.direction.reshape(-1, 3)
+    code = octahedral_codes(d)
+    perm = jnp.argsort(code)
+    inv = jnp.argsort(perm)
+    return Ray(origin=o[perm], direction=d[perm]), inv

@@ -51,16 +51,20 @@ class LeafTable:
     """Leaf AABBs laid out in prim-slot order, padded to whole 128-slot tiles.
 
     leaf_min/leaf_max: (L, 3) f32, leaf ``i`` owns prim slots
-        [i*leaf_size, (i+1)*leaf_size). Padding leaves are inverted boxes
-        (min > max) that fail every slab test.
+        [i*leaf_size, (i+1)*leaf_size). Padding leaves hold inverted boxes
+        (min > max), but the symmetric interval slab test accepts an
+        inverted box as all-space (ADVICE r2), so ``packet_leaf_hit``
+        masks slots >= num_leaves explicitly.
     leaf_size: static; must divide 128 so a tile is a whole number of leaves.
     num_tiles: static L * leaf_size // 128.
+    num_leaves: static count of REAL leaves (padding slots above).
     """
 
     leaf_min: Array
     leaf_max: Array
     leaf_size: int = flax.struct.field(pytree_node=False)
     num_tiles: int = flax.struct.field(pytree_node=False)
+    num_leaves: int = flax.struct.field(pytree_node=False, default=-1)
 
 
 def build_leaf_table(bvh: FlatBVH) -> LeafTable:
@@ -81,7 +85,9 @@ def build_leaf_table(bvh: FlatBVH) -> LeafTable:
     lmin[order] = node_min[is_leaf]
     lmax[order] = node_max[is_leaf]
     return LeafTable(leaf_min=jnp.asarray(lmin), leaf_max=jnp.asarray(lmax),
-                     leaf_size=bvh.leaf_size, num_tiles=L * bvh.leaf_size // LANES)
+                     leaf_size=bvh.leaf_size,
+                     num_tiles=L * bvh.leaf_size // LANES,
+                     num_leaves=num_leaves)
 
 
 def packet_bounds(origin: Array, direction: Array):
@@ -129,7 +135,12 @@ def packet_leaf_hit(o_lo, o_hi, d_lo, d_hi, table: LeafTable) -> Array:
 
     tnear = jnp.max(tn, axis=-1)                 # (P, L)
     tfar = jnp.min(tf, axis=-1)
-    return (tfar >= tnear) & (tfar > EPSILON)
+    hit = (tfar >= tnear) & (tfar > EPSILON)
+    if table.num_leaves >= 0:
+        real = (jnp.arange(table.leaf_min.shape[0], dtype=jnp.int32)
+                < table.num_leaves)
+        hit = hit & real[None, :]
+    return hit
 
 
 def tile_candidates(origin: Array, direction: Array, table: LeafTable,

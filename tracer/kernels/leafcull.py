@@ -73,8 +73,11 @@ class CullTables:
               rows = (cx, cy, cz, |c|^2 - r^2), each leaf's ``leaf_size``
               prims replicated along lanes. The last entry of every chunk
               is a sentinel that can never hit (|c|^2 - r^2 = 1e30).
-    leaf_min/leaf_max: (L, 3) f32 leaf AABBs in slot order (padding leaves
-              are inverted boxes that fail every slab test).
+    leaf_min/leaf_max: (L, 3) f32 leaf AABBs in slot order. Padding leaves
+              hold inverted boxes, but the symmetric interval slab test
+              accepts an inverted box as all-space, so phase A masks them
+              explicitly with ``num_real_leaves`` instead of relying on
+              the box values.
     group_boxes: (Gc, lpg, 8) f32 member-leaf boxes [lo3, hi3, 0, 0] grouped
               by row -- the phase A refine gathers WHOLE group rows (512 B)
               because TPU gather cost is per-row (~2.7 ns) regardless of row
@@ -97,6 +100,7 @@ class CullTables:
     leaves_per_group: int = flax.struct.field(pytree_node=False)
     leaves_per_chunk: int = flax.struct.field(pytree_node=False)
     num_leaves: int = flax.struct.field(pytree_node=False)
+    num_real_leaves: int = flax.struct.field(pytree_node=False)
 
     @property
     def num_chunks(self) -> int:
@@ -182,7 +186,7 @@ def build_cull_tables(scene: Scene, bvh: FlatBVH,
         group_min=jnp.asarray(gmin), group_max=jnp.asarray(gmax),
         slot_to_sphere=slot_to_sphere,
         leaf_size=ls, leaves_per_group=lpg, leaves_per_chunk=lpc,
-        num_leaves=L)
+        num_leaves=L, num_real_leaves=num_real)
 
 
 # ---------------------------------------------------------------------------
@@ -271,10 +275,15 @@ def leaf_candidates(o: Array, d: Array, tables: CullTables,
     o_lo, o_hi, d_lo, d_hi = subpacket_bounds(o, d, subpacket)
     P = o_lo.shape[1]
 
-    # Dense level: frustum vs group boxes.
+    # Dense level: frustum vs group boxes. Padding boxes are inverted, but
+    # the symmetric interval slab test accepts an inverted box as all-space
+    # (ADVICE r2), so padding groups/leaves are masked explicitly.
     ghit = _interval_slab_hit_t(o_lo, o_hi, d_lo, d_hi,
                                 tables.group_min.T[:, None],
                                 tables.group_max.T[:, None])
+    real_group = (jnp.arange(tables.num_groups, dtype=jnp.int32) * lpg
+                  < tables.num_real_leaves)
+    ghit = ghit & real_group[None, :]
     gids = jnp.broadcast_to(jnp.arange(tables.num_groups, dtype=jnp.int32),
                             ghit.shape)
     grow, gcounts = _compact_rows(ghit, gids, k0, tables.num_groups,
@@ -291,7 +300,7 @@ def leaf_candidates(o: Array, d: Array, tables: CullTables,
     member = (gcand[:, :, None] * lpg
               + jnp.arange(lpg, dtype=jnp.int32)[None, None])  # (P, k0, lpg)
     member = member.reshape(P, -1)
-    valid = member < tables.num_leaves
+    valid = member < tables.num_real_leaves
     safe = jnp.where(valid, member, 0)
     lhit = _interval_slab_hit_t(o_lo, o_hi, d_lo, d_hi,
                                 bt[0:3], bt[3:6]) & valid
@@ -528,6 +537,49 @@ def _leafcull_call(feats: Array, cand: Array, entries: Array,
 
 @functools.partial(jax.jit, static_argnames=(
     "max_groups", "max_candidates", "subpackets", "subpacket", "interpret"))
+def nearest_hit_leafcull_t(rays: Ray, tables: CullTables,
+                           max_groups: int = 48, max_candidates: int = 119,
+                           subpackets: int = 8, subpacket: int = 64,
+                           interpret: bool = False):
+    """Lite closest-hit: (t, sphere_id, overflow) straight from the kernel.
+
+    Skips the full HitRecord epilogue (point/normal reconstruction and the
+    exact-brute t recomputation) — measured at 21 ms for 557k rays, pure
+    gather cost, vs ~2 ms for this path. t comes from the kernel's own
+    quadratic (same f32 acceptance rule as src/hit.c:19-39; matches brute
+    to ~1e-4 rtol, tie-breaks identically). Use for throughput benchmarks
+    and any caller that reconstructs shading inputs lazily from
+    (t, sphere_id) after compaction.
+    """
+    batch_shape = rays.batch_shape
+    o = rays.origin.reshape(-1, 3)
+    d = rays.direction.reshape(-1, 3)
+    b = o.shape[0]
+
+    feats, g, pad = pack_ray_features(o, d, subpackets, subpacket)
+    op = jnp.pad(o, ((0, pad), (0, 0)), mode="edge")
+    dp = jnp.pad(d, ((0, pad), (0, 0)), mode="edge")
+    rows, overflow = leaf_candidates(op, dp, tables, max_groups,
+                                     max_candidates, subpacket)
+    rows = rows.reshape(g, subpackets, tables.num_chunks,
+                        rows.shape[-1]).transpose(0, 2, 1, 3)
+
+    t_k, slot = _leafcull_call(feats, rows, tables.entries, subpackets,
+                               subpacket, tables.leaf_size,
+                               tables.leaves_per_chunk,
+                               tables.leaves_per_group, interpret=interpret)
+    slot = slot.transpose(0, 2, 1).reshape(-1)[:b]
+    t_k = t_k.transpose(0, 2, 1).reshape(-1)[:b]
+
+    hit = slot < _NOSLOT
+    sphere_id = jnp.where(
+        hit, tables.slot_to_sphere[jnp.where(hit, slot, 0)], -1)
+    t = jnp.where(hit, t_k, jnp.inf)
+    return (t.reshape(batch_shape), sphere_id.reshape(batch_shape), overflow)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "max_groups", "max_candidates", "subpackets", "subpacket", "interpret"))
 def nearest_hit_leafcull(rays: Ray, scene: Scene, tables: CullTables,
                          max_groups: int = 48, max_candidates: int = 119,
                          subpackets: int = 8, subpacket: int = 64,
@@ -576,7 +628,7 @@ def nearest_hit_leafcull(rays: Ray, scene: Scene, tables: CullTables,
 
 def nearest_hit_leafcull_checked(rays: Ray, scene: Scene, tables: CullTables,
                                  max_groups: int = 48,
-                                 max_candidates: int = 124,
+                                 max_candidates: int = 119,
                                  subpackets: int = 8, subpacket: int = 64,
                                  interpret: bool = False) -> HitRecord:
     """Escalating driver: doubles both candidate budgets until no subpacket
