@@ -37,13 +37,38 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def _timeit(jax, fn, *args, n_calls=5):
-    out = jax.block_until_ready(fn(*args))
-    t0 = time.perf_counter()
-    for _ in range(n_calls):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / n_calls, out
+def _fence(jax, out):
+    """Force real completion with a scalar host transfer.
+
+    On the axon tunnel `jax.block_until_ready` can return before device
+    work finishes (remote placeholder handles) — timing loops fenced with
+    it under-report by orders of magnitude. The only reliable fence is a
+    host read that depends on the outputs.
+    """
+    import jax.numpy as jnp
+    acc = jnp.float32(0)
+    for x in jax.tree_util.tree_leaves(out):
+        if hasattr(x, "ravel") and x.size:
+            acc = acc + x.ravel()[0].astype(jnp.float32)
+    return float(jax.device_get(acc))
+
+
+def _timeit(jax, fn, *args, n1=2, n2=10, repeats=2):
+    """Per-call seconds by the slope method: (T(n2) - T(n1)) / (n2 - n1)
+    with one fence per batch, cancelling the fixed tunnel RTT."""
+    out = fn(*args)
+    _fence(jax, out)  # compile + warm
+
+    def run(n):
+        t0 = time.perf_counter()
+        outs = [fn(*args) for _ in range(n)]
+        _fence(jax, outs)
+        return time.perf_counter() - t0
+
+    best = float("inf")
+    for _ in range(repeats):
+        best = min(best, (run(n2) - run(n1)) / (n2 - n1))
+    return best, out
 
 
 def main():
@@ -76,7 +101,7 @@ def main():
 
     value = None
     try:
-        from tracer.core.sort import octahedral_codes, bucket_pad_sorted
+        from tracer.core.sort import prep_rays_bucketed
         from tracer.kernels.leafcull import (build_cull_tables,
                                              nearest_hit_leafcull_t,
                                              leaf_candidates,
@@ -88,15 +113,11 @@ def main():
             f"{tables.num_real_leaves} leaves, "
             f"{tables.entries.nbytes / 1e6:.1f} MB")
 
-        prep = jax.jit(lambda o, d: bucket_pad_sorted(
-            o[jnp.argsort(octahedral_codes(d))],
-            d[jnp.argsort(octahedral_codes(d))],
-            jnp.sort(octahedral_codes(d)), SP, cell_bits=CELL_BITS))
-        jax.block_until_ready(prep(origin, direction))  # compile warmup
-        t0 = time.perf_counter()
-        op, dp, dest = jax.block_until_ready(prep(origin, direction))
-        extras["sort_ms"] = round((time.perf_counter() - t0) * 1000.0, 1)
-        rays = Ray(origin=op, direction=dp)
+        prep = jax.jit(lambda o, d: prep_rays_bucketed(
+            Ray(origin=o, direction=d), SP, cell_bits=CELL_BITS))
+        dt_prep, (rays, dest) = _timeit(jax, prep, origin, direction)
+        extras["sort_ms"] = round(dt_prep * 1000.0, 1)
+        op, dp = rays.origin, rays.direction
 
         fn = jax.jit(lambda rr: nearest_hit_leafcull_t(
             rr, tables, max_groups=48, max_candidates=119,

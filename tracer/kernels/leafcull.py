@@ -78,11 +78,11 @@ class CullTables:
               accepts an inverted box as all-space, so phase A masks them
               explicitly with ``num_real_leaves`` instead of relying on
               the box values.
-    group_boxes: (Gc, lpg, 8) f32 member-leaf boxes [lo3, hi3, 0, 0] grouped
-              by row -- the phase A refine gathers WHOLE group rows (512 B)
-              because TPU gather cost is per-row (~2.7 ns) regardless of row
-              width; element-wise gathers of the same boxes measured ~30x
-              slower.
+    group_boxes: (Gc, lpg*8) f32 member-leaf boxes [lo3, hi3, 0, 0] flattened
+              along the row -- the phase A refine gathers WHOLE group rows
+              (one exactly-128-lane row for lpg=16) because TPU gather cost
+              is per-row (~2.7 ns) regardless of row width; per-leaf 8-lane
+              rows each pad to a 128-lane word and measured ~6x slower.
     group_min/group_max: (Gc, 3) f32 boxes over ``leaves_per_group``
               consecutive leaves (phase A dense level).
     slot_to_sphere: (L*leaf_size,) i32 prim slot -> sphere id (-1 pad).
@@ -155,6 +155,10 @@ def build_cull_tables(scene: Scene, bvh: FlatBVH,
     gboxes = np.zeros((L // lpg, lpg, 8), np.float32)
     gboxes[:, :, 0:3] = lmin.reshape(-1, lpg, 3)
     gboxes[:, :, 3:6] = lmax.reshape(-1, lpg, 3)
+    # Flat (Gc, lpg*8) rows: a gather row is then exactly lpg*8 lanes (128
+    # for lpg=16) instead of lpg separate 8-lane rows each padded to a full
+    # 128-lane word — measured 5.7 -> ~1 ms at 512k rays / 100k spheres.
+    gboxes = gboxes.reshape(L // lpg, lpg * 8)
 
     # --- slot -> sphere map, padded to L*ls ---
     n = scene.centers.shape[0]
@@ -294,7 +298,7 @@ def leaf_candidates(o: Array, d: Array, tables: CullTables,
     # group rows (one 512 B row per candidate group) -- TPU gather cost is
     # per-row, so this is ~lpg*6 times cheaper than element gathers.
     safe_g = jnp.minimum(gcand, tables.num_groups - 1)
-    boxes = tables.group_boxes[safe_g]                     # (P, k0, lpg, 8)
+    boxes = tables.group_boxes[safe_g]                     # (P, k0, lpg*8)
     boxes = boxes.reshape(P, k0 * lpg, 8)
     bt = boxes.transpose(2, 0, 1)                          # (8, P, M)
     member = (gcand[:, :, None] * lpg
@@ -343,10 +347,13 @@ def pack_ray_features(o: Array, d: Array, subpackets: int,
                            subpacket: int):
     """(B, 3) rays -> (G, S, SP, FEAT) per-ray column operands.
 
-    Lane f of ray r's row: [dx, dy, dz, -2ox, -2oy, -2oz, o.d, |o|^2, a,
-    1/a, eps*a, 0...]. One merged (SP, FEAT) plane per subpacket (instead
-    of three (SP, 8) planes) cuts the lane-padding inflation of the HBM
-    feature array 3x (the 16 -> 128 pad is paid once per subpacket).
+    Lanes 0-7 are the MXU operand row [dx, dy, dz, -2ox, -2oy, -2oz, 1, 0]:
+    the kernel contracts it against per-quad prim columns to get c.d and
+    -2 o.c + ccr in one (SP, 8) @ (8, 256) matmul. Lanes 8-12 are VPU
+    broadcast scalars [o.d, |o|^2, a, 1/a, eps*a]. One merged (SP, FEAT)
+    plane per subpacket (instead of three (SP, 8) planes) cuts the
+    lane-padding inflation of the HBM feature array 3x (the 16 -> 128 pad
+    is paid once per subpacket).
 
     Padding rays replicate the last real ray (coherent tail). Returns
     (features, G, pad).
@@ -360,12 +367,14 @@ def pack_ray_features(o: Array, d: Array, subpackets: int,
     d = jnp.pad(d, ((0, pad), (0, 0)), mode="edge")
 
     zeros = jnp.zeros_like(o[:, 0])
+    ones = jnp.ones_like(o[:, 0])
     od = jnp.sum(o * d, axis=-1)
     oo = jnp.sum(o * o, axis=-1)
     a = jnp.sum(d * d, axis=-1)
     inva = 1.0 / jnp.maximum(a, 1e-30)
     cols = [d[:, 0], d[:, 1], d[:, 2],
             -2.0 * o[:, 0], -2.0 * o[:, 1], -2.0 * o[:, 2],
+            ones, zeros,
             od, oo, a, inva, EPSILON * a]
     cols += [zeros] * (FEAT - len(cols))
     feats = jnp.stack(cols, axis=-1)                      # (B', FEAT)
@@ -401,9 +410,9 @@ def _leafcull_kernel(cand_ref, rays_ref, entries_ref, t_ref, slot_ref, *,
         f = rays_ref[0, s]                                # (SP, FEAT)
         dx, dy, dz = f[:, 0:1], f[:, 1:2], f[:, 2:3]      # (SP, 1) columns
         nox2, noy2, noz2 = f[:, 3:4], f[:, 4:5], f[:, 5:6]
-        od, oo = f[:, 6:7], f[:, 7:8]
-        av, inva = f[:, 8:9], f[:, 9:10]
-        epsa = f[:, 10:11]
+        od, oo = f[:, 8:9], f[:, 9:10]
+        av, inva = f[:, 10:11], f[:, 11:12]
+        epsa = f[:, 12:13]
         nc = cand_ref[0, 0, s, 0]
 
         def test_quad(parts, lids, carry):
@@ -421,6 +430,11 @@ def _leafcull_kernel(cand_ref, rays_ref, entries_ref, t_ref, slot_ref, *,
             pslot = chunk_slot0 + lid * ls + lane_mod     # global prim slot
 
             # (SP ray columns) x (128 prim rows): pure f32 VPU broadcasts.
+            # An MXU (SP, 8) @ (8, 256) formulation of m1/m2 was tried and
+            # measured SLOWER (30.1 vs 21.9 ms at 512k rays): the disc
+            # sign test resolves r^2 = 0.25 against |c|^2 ~ 1e6, so the
+            # matmul needs Precision.HIGHEST (6 bf16 passes), which costs
+            # more than the 11 VPU ops it replaces at K=8.
             m1 = dx * cx + dy * cy + dz * cz              # c.d
             m2 = nox2 * cx + noy2 * cy + noz2 * cz + ccr  # -2 o.c + ccr
             bp = od - m1                                  # oc.d
