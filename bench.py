@@ -158,6 +158,35 @@ def main():
         log(f"leafcull path failed ({type(e).__name__}: {e}); "
             "falling back to packet kernel")
 
+    # BASELINE metric of record: fwd+bwd Mrays/s at 100k spheres through
+    # the BVH-sparsified differentiable path (tracer/diff/sparse.py) on a
+    # fit-scale microbatch. The dense soft model is O(B*N) and intractable
+    # here; the sparse path restricts the composite to cull candidates.
+    try:
+        from tracer.core.sort import prep_rays_bucketed as _prep
+        from tracer.diff.sparse import soft_render_sparse_packets
+        from tracer.diff.soft import SoftParams
+
+        Bd = 16384
+        rd = Ray(origin=origin[:Bd], direction=direction[:Bd])
+        padded, _dest = jax.jit(lambda o, d: _prep(
+            Ray(origin=o, direction=d), 64))(rd.origin, rd.direction)
+        sp = SoftParams()
+
+        def loss(centers):
+            img, _ = soft_render_sparse_packets(
+                scene.replace(centers=centers), padded.origin,
+                padded.direction, tables, sp, max_leaves=16, subpacket=64)
+            return jnp.mean(img)
+
+        gfn = jax.jit(jax.grad(loss))
+        dtg, _ = _timeit(jax, gfn, scene.centers, n1=1, n2=4, repeats=1)
+        extras["diff_fwd_bwd_mrays"] = round(Bd / dtg / 1e6, 3)
+        log(f"sparse diff fwd+bwd: {dtg * 1e3:.1f} ms for {Bd} rays "
+            f"-> {Bd / dtg / 1e6:.2f} Mrays/s")
+    except Exception as e:
+        log(f"sparse diff metric failed ({type(e).__name__}: {e})")
+
     if value is None:
         try:
             from tracer.core.sort import sort_rays_by_direction

@@ -1,0 +1,54 @@
+"""Benchmark harness + committed-sweep regression tests.
+
+SURVEY.md §4: the complexity-fit assertion (BVH log-log slope ≪ brute
+slope, results/main.py:68-87) as an automated check. The committed TPU
+sweep artifact (results/sweep.json, produced by tools/run_sweep_tpu.py)
+is the record under test — regenerating it with a regressed BVH path
+fails here.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from tracer.bench.harness import complexity_fit, run_sweep
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SWEEP = os.path.join(ROOT, "results", "sweep.json")
+
+
+def test_complexity_fit_math():
+    n = [1e3, 1e4, 1e5, 1e6]
+    brute = [1e-3 * x / 1e3 for x in n]          # O(n)
+    bvh = [1e-4 * np.log(x) for x in n]          # O(log n)
+    fits = complexity_fit(n, brute, bvh)
+    assert abs(fits["brute_loglog_slope"] - 1.0) < 1e-6
+    assert fits["bvh_loglog_slope"] < 0.2
+
+
+def test_committed_sweep_slopes():
+    assert os.path.exists(SWEEP), \
+        "results/sweep.json missing — run tools/run_sweep_tpu.py on TPU"
+    with open(SWEEP) as f:
+        data = json.load(f)
+    comp = data["complexity"]
+    # Brute force scales ~linearly; the BVH path's slope must be FAR
+    # below it (the reference's own headline claim, results/main.py:77-81).
+    assert comp["brute_loglog_slope"] > 0.55, comp
+    assert comp["bvh_loglog_slope"] < 0.5 * comp["brute_loglog_slope"], comp
+    # And the BVH must actually beat brute force at every measured size
+    # where both ran.
+    for n, b, v in zip(data["sizes"], data["brute_s"], data["bvh_s"]):
+        if np.isfinite(b) and np.isfinite(v) and n >= 10_000:
+            assert v < b, f"BVH slower than brute at n={n}"
+
+
+def test_run_sweep_smoke_cpu():
+    # The harness itself runs end to end on CPU (jnp traversal path).
+    res = run_sweep(sizes=(256, 1024), num_rays=2048, world_size=60.0,
+                    use_pallas=False, log=lambda *a: None)
+    assert len(res.bvh_s) == 2 and all(v > 0 for v in res.bvh_s)
+    j = res.to_json()
+    assert "complexity" in j and len(j["speedup"]) == 2

@@ -9,10 +9,9 @@ slopes for BVH). gnuplot-subprocess plotting (src/benchmark.c:34-136) is
 replaced by matplotlib; the data file format matches
 ``results/benchmark_data.txt`` ("n time_brute time_bvh").
 
-Timing notes (device-honest, unlike the reference's clock() CPU time):
-  * compile time excluded (one warmup call per shape),
-  * several chained calls per measurement with a single final
-    block_until_ready, amortizing host->device dispatch latency.
+Timing via tracer.bench.timing.time_device (fenced slope method): compile
+time excluded, dispatch latency cancelled, real device completion forced
+(block_until_ready lies through remote tunnels).
 """
 
 from __future__ import annotations
@@ -86,37 +85,68 @@ def complexity_fit(sizes, brute_s, bvh_s) -> dict:
 
 
 def _time_amortized(fn, n_calls: int = 4) -> float:
-    import jax
-    out = fn()
-    jax.block_until_ready(out)      # warmup/compile
-    t0 = time.time()
-    for _ in range(n_calls):
-        out = fn()
-    jax.block_until_ready(out)
-    return (time.time() - t0) / n_calls
+    from tracer.bench.timing import time_device
+    del n_calls
+    return time_device(fn)
 
 
 def run_sweep(sizes=(5000, 10000, 15000, 20000, 25000, 30000,
                      35000, 40000, 45000, 50000),
               num_rays: int = 131072, world_size: float = 1000.0,
-              brute_limit: int = 200_000, use_pallas: bool = None,
+              brute_limit: int = 20_000_000, use_pallas: bool = None,
               seed: int = 0, log: Callable = print) -> SweepResult:
     """Run the sweep. Default sizes = the reference's in-repo sweep
     (src/benchmark.c:289-295); pass (1000, 10000, ..., 1e6+) for the
-    published-data variant (src/benchmark.c:296)."""
+    published-data variant (src/benchmark.c:296).
+
+    Brute force is timed with an adaptively smaller ray batch at large n
+    (the O(n*rays) product is capped; the reference used a fixed 10k rays,
+    src/benchmark.c:289) and normalized to seconds per ``num_rays`` rays.
+    The BVH path is the leaf-cull Pallas kernel on TPU (bench.py's
+    headline path) and the pure-jnp traversal elsewhere.
+    """
     import jax
     import jax.numpy as jnp
     from tracer.bvh.builder import build_bvh
-    from tracer.core.sort import sort_rays_by_direction
+    from tracer.core.sort import sort_rays_by_direction, prep_rays_bucketed
     from tracer.intersect.brute import nearest_hit_brute
+    from tracer.intersect.sphere import ray_sphere_t
     from tracer.scene.scene import benchmark_scene
+
+    CHUNK = 65536
+
+    def brute_t(rays: Ray, scene) -> jnp.ndarray:
+        """Min-t brute force, lax.scan-chunked over spheres so the (B, N)
+        pair matrix never materializes (131k rays x 100k spheres is a 52 GB
+        allocation otherwise)."""
+        n = scene.centers.shape[0]
+        if n <= CHUNK:
+            return nearest_hit_brute(rays, scene).t
+        pad = (-n) % CHUNK
+        c = jnp.concatenate(
+            [scene.centers, jnp.full((pad, 3), 3.0e37, jnp.float32)])
+        r = jnp.concatenate([scene.radii, jnp.zeros((pad,), jnp.float32)])
+        o = rays.origin.reshape(-1, 3)
+        d = rays.direction.reshape(-1, 3)
+
+        def body(best, xs):
+            cc, rr = xs
+            t = ray_sphere_t(o[:, None], d[:, None], cc[None], rr[None])
+            return jnp.minimum(best, jnp.min(t, axis=1)), None
+
+        init = jnp.full((o.shape[0],), jnp.inf, jnp.float32)
+        best, _ = jax.lax.scan(body, init,
+                               (c.reshape(-1, CHUNK, 3),
+                                r.reshape(-1, CHUNK)))
+        return best
 
     if use_pallas is None:
         use_pallas = jax.devices()[0].platform == "tpu"
 
     if use_pallas:
-        from tracer.kernels import pack_bvh, nearest_hit_bvh_pallas
-        path = "pallas_packet_kernel"
+        from tracer.kernels.leafcull import (build_cull_tables,
+                                             nearest_hit_leafcull_t)
+        path = "leafcull_lite"
     else:
         from tracer.intersect.traverse import nearest_hit_bvh
         path = "jnp_while_loop"
@@ -126,33 +156,57 @@ def run_sweep(sizes=(5000, 10000, 15000, 20000, 25000, 30000,
     d /= np.linalg.norm(d, axis=-1, keepdims=True)
     rays = Ray(origin=jnp.zeros((num_rays, 3), jnp.float32),
                direction=jnp.asarray(d))
-    rays, _ = sort_rays_by_direction(rays)
-    rays = jax.block_until_ready(rays)
 
     res = SweepResult(sizes=list(sizes), brute_s=[], bvh_s=[], build_ms=[],
                       num_rays=num_rays, path=path)
 
-    brute_fn = jax.jit(lambda r, s: nearest_hit_brute(r, s).t)
+    brute_fn = jax.jit(brute_t)
     for n in sizes:
         scene = benchmark_scene(jax.random.PRNGKey(seed + n), int(n),
                                 world_size=world_size)
+        # Materialize BEFORE the build timer: the first np.asarray pays
+        # scene-gen compile + device->host transfer, not build cost.
+        cnp = np.asarray(scene.centers)
+        rnp = np.asarray(scene.radii)
         t0 = time.time()
-        bvh = build_bvh(np.asarray(scene.centers), np.asarray(scene.radii))
+        leaf = 32 if use_pallas else 8
+        bvh = build_bvh(cnp, rnp, leaf_size=leaf)
         res.build_ms.append((time.time() - t0) * 1000.0)
 
         if n <= brute_limit:
-            dt = _time_amortized(lambda: brute_fn(rays, scene))
-            res.brute_s.append(dt)
+            # Cap the materialized (rays, sphere-chunk) pair block at
+            # 2^28 elements (~1 GB of f32 temporaries) — the reference
+            # used a fixed 10k rays for the same reason (benchmark.c:289).
+            nb = num_rays
+            while nb > 2048 and nb * min(n, CHUNK) > (1 << 28):
+                nb //= 2
+            rb = Ray(origin=rays.origin[:nb], direction=rays.direction[:nb])
+            dt = _time_amortized(lambda: brute_fn(rb, scene))
+            res.brute_s.append(dt * (num_rays / nb))
         else:
             res.brute_s.append(float("nan"))
 
         if use_pallas:
-            packed = jax.jit(pack_bvh)(scene, bvh)
-            fn = jax.jit(lambda r, p, s: nearest_hit_bvh_pallas(r, s, p).t)
-            dt = _time_amortized(lambda: fn(rays, packed, scene))
+            tables = build_cull_tables(scene, bvh)
+            sp = 128
+            prep = jax.jit(lambda o, dd: prep_rays_bucketed(
+                Ray(origin=o, direction=dd), sp, cell_bits=8))
+            prays, _ = prep(rays.origin, rays.direction)
+            # Group budget scales with leaf density: a truncated refine
+            # (gcounts > max_groups) forces whole (subpacket, chunk) rows
+            # into group-mode walks — at 1M spheres a fixed 48 put 47% of
+            # rows there and tripled kernel time.
+            mg = 48 if n <= 300_000 else (128 if n <= 3_000_000 else 320)
+            fn = jax.jit(lambda rr: nearest_hit_leafcull_t(
+                rr, tables, max_groups=mg, max_candidates=119,
+                subpackets=8, subpacket=sp)[0])
+            # Padded-batch time IS the cost of the num_rays real rays
+            # (padding slots replicate real rays); no renormalization.
+            dt = _time_amortized(lambda: fn(prays))
         else:
+            rs, _ = sort_rays_by_direction(rays)
             fn = jax.jit(lambda r, s, b: nearest_hit_bvh(r, s, b).t)
-            dt = _time_amortized(lambda: fn(rays, scene, bvh))
+            dt = _time_amortized(lambda: fn(rs, scene, bvh))
         res.bvh_s.append(dt)
         log(f"n={n}: build {res.build_ms[-1]:.0f} ms, "
             f"brute {res.brute_s[-1]:.4f} s, bvh {res.bvh_s[-1]:.4f} s "

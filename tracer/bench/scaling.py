@@ -41,12 +41,8 @@ def measure_scaling(scene, rays: Ray, nearest_hit: Callable,
         mesh = Mesh(np.array(devs[:n]), (RAY_AXIS,))
         fn = jax.jit(lambda r, s: nearest_hit_sharded(
             r, s, mesh, nearest_hit).t)
-        out = jax.block_until_ready(fn(rays, scene))
-        t0 = time.perf_counter()
-        for _ in range(reps):
-            out = fn(rays, scene)
-        jax.block_until_ready(out)
-        dt = (time.perf_counter() - t0) / reps
+        from tracer.bench.timing import time_device
+        dt = time_device(fn, rays, scene, n1=1, n2=1 + reps, repeats=1)
         mrays = b / dt / 1e6
         if base is None:
             base = mrays

@@ -105,6 +105,10 @@ def validate_bvh(bvh: FlatBVH, centers: np.ndarray, radii: np.ndarray) -> None:
         else:
             left, right = i + 1, escape[i + 1]
             for ch in (left, right):
+                # NaN boxes mark padding subtrees of the device LBVH
+                # (tracer/bvh/device.py): no containment to check.
+                if np.isnan(node_min[ch]).any():
+                    continue
                 assert (node_min[ch] >= node_min[i] - 1e-4).all()
                 assert (node_max[ch] <= node_max[i] + 1e-4).all()
 

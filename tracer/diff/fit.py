@@ -78,6 +78,7 @@ def fit_scene(target: Array, init_scene: Scene, camera: Camera,
               config: TracerConfig = DEFAULT_CONFIG,
               optimize_camera: bool = False,
               mesh: Mesh = None,
+              grad_microbatch: int = 1,
               checkpoint_path: str = None,
               checkpoint_every: int = 50,
               resume: bool = False) -> FitResult:
@@ -103,11 +104,37 @@ def fit_scene(target: Array, init_scene: Scene, camera: Camera,
         compute = jax.jit(vg)
     else:
         def local(all_params, ray_o, ray_d, target):
-            val, grads = vg(all_params, ray_o, ray_d, target)
             scale = 1.0 / mesh.shape[RAY_AXIS]
-            return jax.lax.psum((val * scale,
-                                 jax.tree_util.tree_map(lambda g: g * scale,
-                                                        grads)), RAY_AXIS)
+            T = max(1, grad_microbatch)
+            if T == 1:
+                val, grads = vg(all_params, ray_o, ray_d, target)
+                return jax.lax.psum(
+                    (val * scale,
+                     jax.tree_util.tree_map(lambda g: g * scale, grads)),
+                    RAY_AXIS)
+            # Gradient all-reduce OVERLAPPED with backward (SURVEY.md §2
+            # parallelism item 3): the ray shard splits into T tile
+            # microbatches; tile k's grad psum is issued as soon as its
+            # backward finishes and has no data dependence on tile k+1's
+            # forward/backward, so XLA's async collectives run it on ICI
+            # while tile k+1 computes. The Python loop is unrolled at
+            # trace time (T is static) — a lax.scan would serialize the
+            # collective into the loop carry and forbid the overlap.
+            o_t = ray_o.reshape(T, -1, 3)
+            d_t = ray_d.reshape(T, -1, 3)
+            tg_t = target.reshape(T, -1, 3)
+            val_acc = jnp.float32(0)
+            g_acc = None
+            for t in range(T):
+                val, grads = vg(all_params, o_t[t], d_t[t], tg_t[t])
+                part = jax.lax.psum(
+                    (val * (scale / T),
+                     jax.tree_util.tree_map(lambda g: g * (scale / T),
+                                            grads)), RAY_AXIS)
+                val_acc = val_acc + part[0]
+                g_acc = part[1] if g_acc is None else jax.tree_util.tree_map(
+                    jnp.add, g_acc, part[1])
+            return val_acc, g_acc
 
         rep = jax.tree_util.tree_map(lambda _: P(), all_params)
         compute = jax.jit(shard_map(

@@ -13,12 +13,14 @@ The soft model replaces the two discontinuities:
   1. **Silhouette**: the hard hit test ``disc > 0`` becomes a sigmoid of the
      signed silhouette distance (perpendicular ray-center distance minus
      radius), giving silhouettes finite-width differentiable edges.
-  2. **Occlusion**: the hard argmin over t becomes a softmax over per-sphere
-     logits ``l_i = log(sigma_i) - t_i / tau_depth`` (SoftRas-style), so
-     occlusion order is differentiable; the background blends in through the
-     *transmittance* ``T = prod_i (1 - sigma_i)`` rather than a depth logit,
-     so coverage and occlusion stay decoupled (a sphere with negligible
-     silhouette coverage can never beat the sky no matter how close it is).
+  2. **Occlusion**: the hard argmin over t becomes depth-ordered alpha
+     compositing ``img = sum_i sigma_i T_i shade_i + T sky`` with
+     ``T_i = prod_{t_j < t_i} (1 - sigma_j)`` (see composite_sorted) —
+     differentiable in every sigma/t, exactly the hard image in the limit.
+     A SoftRas-style depth softmax (kept below as the streaming form the
+     scene-sharded trainer decomposes over shards, tracer/dist/train.py)
+     is NOT used for the primary renderer: with depths spanning hundreds
+     of units it lets invisible near spheres outweigh real hits.
 
 As ``edge_sharpness -> inf`` and ``tau_depth -> 0`` the soft image converges
 to the hard depth-1 image. Everything is plain jnp over (rays, spheres), so
@@ -105,14 +107,45 @@ def _logits_and_shade(scene: Scene, o: Array, d: Array, params: SoftParams):
     # Deterministic analog of base + 0.5*bounce (src/renderer.c:56-58) with
     # the mirror direction (the commented-out variant at src/renderer.c:52).
     shade = scene.albedo[None] + 0.5 * sky_color(mirror)
-    return l, shade, sigma
+    return l, shade, sigma, t_soft
+
+
+def composite_sorted(sigma: Array, shade: Array, t_soft: Array, d: Array):
+    """Depth-ordered alpha compositing over the last candidate axis.
+
+    sigma/t_soft (..., K), shade (..., K, 3), d (..., 3) ray directions.
+    Returns the composited color (..., 3):
+
+        img = sum_i sigma_i * T_i * shade_i + T_total * sky,
+        T_i = prod_{j : t_j < t_i} (1 - sigma_j)
+
+    This replaced the SoftRas depth-softmax ``softmax(log sigma - t/tau)``:
+    with scene depths spanning hundreds of units and tau ~ 0.05, the
+    softmax let a NEAR sphere with microscopic coverage (sigma ~ 1e-13,
+    ray passing 2+ radii away) outweigh a REAL hit farther along the ray,
+    tinting pixels with invisible spheres' shade (caught by the
+    sparse-vs-dense equality test, tests/test_sparse_diff.py). Ordered
+    compositing has no such scale coupling, converges exactly to the hard
+    render as edge_sharpness -> inf, and is differentiable everywhere:
+    the sort indices are piecewise constant (like the hard path's argmin)
+    and values flow through take_along_axis.
+    """
+    order = jnp.argsort(t_soft, axis=-1)
+    sig_s = jnp.take_along_axis(sigma * (1.0 - 1e-6), order, axis=-1)
+    shade_s = jnp.take_along_axis(shade, order[..., None], axis=-2)
+    log1m = jnp.log1p(-sig_s)
+    log_T = jnp.cumsum(log1m, axis=-1) - log1m        # exclusive prefix
+    w = sig_s * jnp.exp(log_T)
+    img = jnp.sum(w[..., None] * shade_s, axis=-2)
+    t_total = jnp.exp(jnp.sum(log1m, axis=-1))[..., None]
+    return jnp.clip(img + t_total * sky_color(d), 0.0, 1.0)
 
 
 def soft_max_logit(scene: Scene, o: Array, d: Array,
                    params: SoftParams) -> Array:
     """Pass 1: per-ray max logit over this sphere shard, (B,). pmax partial
     maxima across scene shards before pass 2."""
-    l, _, _ = _logits_and_shade(scene, o, d, params)
+    l, _, _, _ = _logits_and_shade(scene, o, d, params)
     return jnp.max(l, axis=1)
 
 
@@ -121,7 +154,7 @@ def soft_accumulate(scene: Scene, o: Array, d: Array, params: SoftParams,
     """Pass 2: partial (sum w*shade, sum w, sum log(1-sigma)) of this sphere
     shard, with w = exp(l - m); psum all three across scene shards. m is the
     per-ray global max logit (stop-gradded; the softmax is shift-invariant)."""
-    l, shade, sigma = _logits_and_shade(scene, o, d, params)
+    l, shade, sigma, _ = _logits_and_shade(scene, o, d, params)
     w = jnp.exp(l - jax.lax.stop_gradient(m)[:, None])
     acc = jnp.sum(w[..., None] * shade, axis=1)
     den = jnp.sum(w, axis=1)
@@ -152,7 +185,6 @@ def soft_render(scene: Scene, camera: Camera,
     batch_shape = rays.batch_shape
     o = rays.origin.reshape(-1, 3)
     d = rays.direction.reshape(-1, 3)
-    m = soft_max_logit(scene, o, d, params)
-    acc, den, log_trans = soft_accumulate(scene, o, d, params, m)
-    img = soft_finalize(acc, den, log_trans, d, params)
+    _, shade, sigma, t_soft = _logits_and_shade(scene, o, d, params)
+    img = composite_sorted(sigma, shade, t_soft, d)
     return img.reshape(*batch_shape, 3)

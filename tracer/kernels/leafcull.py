@@ -25,11 +25,13 @@ test block out of **4 candidate leaves** selected by lane quarter:
     a sparse per-subpacket refinement against only the surviving groups'
     member leaves. This replaces tilecull's dense (subpackets x all-leaves)
     test -- 45 ms of pure VPU time at 100k -- with ~1 ms of work.
-  * scenes whose table exceeds VMEM are **chunked** along a second grid
+  * scenes whose table exceeds VMEM are **chunked** along the MAJOR grid
     dimension: leaves are split into C equal chunks, phase A emits per-chunk
-    candidate rows, and the kernel min-merges chunk results into a revisited
-    output block (chunk-minor grid order keeps the block resident). This is
-    how 1M+ spheres stay VMEM-resident per step.
+    candidate rows, each (chunk, group) step writes its own partial output
+    block, and the wrapper min-merges the C partials in XLA. Chunk-major
+    order keeps each ~9 MB entries block resident across the whole inner
+    sweep (total table DMA = table size, not table x groups). This is how
+    1M+ spheres stay VMEM-resident per step.
 
 Ray coherence comes from octahedral-Morton direction sorting
 (tracer/core/sort.py): measured at 100k spheres / 64-ray subpackets it cuts
@@ -131,9 +133,19 @@ def build_cull_tables(scene: Scene, bvh: FlatBVH,
     leaf_start = np.asarray(bvh.leaf_start)
     node_min = np.asarray(bvh.node_min)
     node_max = np.asarray(bvh.node_max)
+    prim_idx_h = np.asarray(bvh.prim_idx)
+    n_spheres = scene.centers.shape[0]
     is_leaf = leaf_start >= 0
     order = leaf_start[is_leaf] // ls
-    num_real = int(order.max()) + 1 if is_leaf.any() else 0
+    # Padding leaves of the device LBVH (tracer/bvh/device.py) carry NaN
+    # boxes and only sentinel prims; they must not count as real (a NaN
+    # member would poison its whole group box below).
+    leaf_is_real = prim_idx_h[leaf_start[is_leaf]] < n_spheres
+    num_real = int(leaf_is_real.sum())
+    assert (order[leaf_is_real] < num_real).all(), \
+        "real leaves must occupy the first slots"
+    node_min = np.where(np.isnan(node_min), _BIG, node_min)
+    node_max = np.where(np.isnan(node_max), -_BIG, node_max)
 
     # Pad leaf count so chunks are equal, group-aligned, and pair-aligned.
     lpg = leaves_per_group
@@ -142,13 +154,22 @@ def build_cull_tables(scene: Scene, bvh: FlatBVH,
     leaves_per_chunk_cap = max((max_chunk_bytes // (SUBLANES * LANES * 4)) * 2
                                - 2, align)
     n_chunks = max(1, -(-num_real // leaves_per_chunk_cap))
+    if n_chunks > 1:
+        # Multi-chunk tables stream chunk blocks through Pallas's DOUBLE
+        # buffer (a single resident C=1 block is not double-buffered), so
+        # each chunk must fit half the ~14 MB usable VMEM.
+        bytes2 = min(max_chunk_bytes, 13 << 19)
+        cap2 = max((bytes2 // (SUBLANES * LANES * 4)) * 2 - 2, align)
+        n_chunks = max(1, -(-num_real // cap2))
     lpc = -(-(-(-num_real // n_chunks)) // align) * align
     L = n_chunks * lpc
 
     lmin = np.full((L, 3), _BIG, np.float32)
     lmax = np.full((L, 3), -_BIG, np.float32)
-    lmin[order] = node_min[is_leaf]
-    lmax[order] = node_max[is_leaf]
+    # Only real leaves: device-LBVH padding leaves sit past num_real (and
+    # therefore past L when the chunk rounding is tight).
+    lmin[order[leaf_is_real]] = node_min[is_leaf][leaf_is_real]
+    lmax[order[leaf_is_real]] = node_max[is_leaf][leaf_is_real]
 
     gmin = lmin.reshape(-1, lpg, 3).min(1)
     gmax = lmax.reshape(-1, lpg, 3).max(1)
@@ -164,7 +185,10 @@ def build_cull_tables(scene: Scene, bvh: FlatBVH,
     n = scene.centers.shape[0]
     prim_idx = np.asarray(bvh.prim_idx)
     slots = np.full(L * ls, n, np.int64)
-    slots[:prim_idx.shape[0]] = prim_idx
+    # Real prims occupy the first num_real*ls slots; a device LBVH may
+    # carry extra sentinel-only padding leaves past L*ls — drop them.
+    take = min(prim_idx.shape[0], L * ls)
+    slots[:take] = prim_idx[:take]
 
     # --- pair-packed, lane-replicated prim entries ---
     centers_p, radii_p = padded_scene_arrays(scene.centers, scene.radii)
@@ -315,25 +339,50 @@ def leaf_candidates(o: Array, d: Array, tables: CullTables,
     # row instead enumerates its surviving GROUPS (count stored negated) and
     # the kernel walks every member leaf -- correctness never depends on
     # the budgets, only the rare wide seam subpackets pay extra work.
+    #
+    # ONE global lane sort serves every chunk: ids sort ascending, so each
+    # chunk's candidates are a contiguous run whose bounds come from C+1
+    # threshold compare-reduces and whose rows are a take_along_axis. (A
+    # per-chunk _compact_rows sort measured ~8 ms x C at 1M spheres.)
     gpc = lpc // lpg
     kg = min(gpc, rowlen - 9)
-    gchunk = gids // gpc
-    rows = []
-    overflow = jnp.asarray(False)
-    chunk_of = safe // lpc
-    rel = (member - chunk_of * lpc).astype(jnp.int32)
     refine_truncated = gcounts > k0                        # (P,)
-    for c in range(C):
-        mc = lhit & (chunk_of == c)
-        leaf_row, leaf_counts = _compact_rows(mc, rel, k, lpc, rowlen)
-        mg = ghit & (gchunk == c)
-        group_row, group_counts = _compact_rows(
-            mg, gids - c * gpc, kg, gpc, rowlen)
-        group_row = group_row.at[:, 0].multiply(-1)
-        use_g = (leaf_counts > k) | refine_truncated
-        rows.append(jnp.where(use_g[:, None], group_row, leaf_row))
-        overflow = overflow | jnp.any(use_g & (group_counts > kg))
-    return jnp.stack(rows, axis=1), overflow
+
+    def chunk_rows(mask, ids, sentinel, per_chunk, budget):
+        """mask/ids (P, M) -> (vals (P, C, budget) count-clamped ids
+        RELATIVE to their chunk, cnt (P, C) raw per-chunk counts)."""
+        M = ids.shape[1]
+        key = jnp.where(mask, ids, jnp.int32(sentinel))
+        skey = jax.lax.sort(key, dimension=1)
+        th = (jnp.arange(C + 1, dtype=jnp.int32) * per_chunk)[None, :, None]
+        bounds = jnp.sum(skey[:, None, :] < th, axis=2, dtype=jnp.int32)
+        start, cnt = bounds[:, :C], bounds[:, 1:] - bounds[:, :C]
+        j = jnp.arange(budget, dtype=jnp.int32)
+        idx = jnp.minimum(start[:, :, None] + j[None, None, :], M - 1)
+        vals = jnp.take_along_axis(
+            jnp.broadcast_to(skey[:, None, :], (P, C, M)), idx, axis=2)
+        base = (jnp.arange(C, dtype=jnp.int32) * per_chunk)[None, :, None]
+        vals = jnp.where(j[None, None, :] < jnp.minimum(cnt, budget)[..., None],
+                         vals - base, per_chunk)
+        return vals, cnt
+
+    lvals, lcnt = chunk_rows(lhit, member, C * lpc, lpc, k)
+    gvals, gcnt = chunk_rows(ghit, gids, C * gpc, gpc, kg)
+
+    use_g = (lcnt > k) | refine_truncated[:, None]          # (P, C)
+    overflow = jnp.any(use_g & (gcnt > kg))
+
+    pad = rowlen - 1 - max(k, kg)
+    cnt_col = jnp.where(use_g, -jnp.minimum(gcnt, kg), jnp.minimum(lcnt, k))
+    body = jnp.where(use_g[..., None],
+                     jnp.pad(gvals, ((0, 0), (0, 0), (0, max(k - kg, 0))),
+                             constant_values=gpc),
+                     jnp.pad(lvals, ((0, 0), (0, 0), (0, max(kg - k, 0))),
+                             constant_values=lpc))
+    rows = jnp.concatenate(
+        [cnt_col[..., None], body,
+         jnp.full((P, C, pad), lpc, jnp.int32)], axis=2)
+    return rows, overflow
 
 
 # ---------------------------------------------------------------------------
@@ -383,24 +432,22 @@ def pack_ray_features(o: Array, d: Array, subpackets: int,
 
 def _leafcull_kernel(cand_ref, rays_ref, entries_ref, t_ref, slot_ref, *,
                      subpackets: int, subpacket: int, leaf_size: int,
-                     leaves_per_chunk: int, leaves_per_group: int,
-                     num_chunks: int):
-    """Grid (G, C), chunk-minor. One step: ``subpackets`` frustums each walk
+                     leaves_per_chunk: int, leaves_per_group: int):
+    """Grid (C, G), chunk-MAJOR. One step: ``subpackets`` frustums each walk
     their chunk-c candidate leaves, 4 per iteration, assembled into a full
-    128-lane block by lane-quarter select; results min-merge into the
-    revisited (SP, S) output block."""
+    128-lane block by lane-quarter select; each (c, g) step writes its own
+    partial (SP, S) output block and the wrapper min-merges over chunks in
+    XLA. Chunk-major keeps the big entries block resident across the whole
+    inner G sweep — the earlier chunk-minor revisited-output design
+    re-streamed the entire table every step (33 GB of DMA per call at 1M
+    spheres)."""
     SP = subpacket
     ls = leaf_size
     LPG = leaves_per_group
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
     quarter = lane // ls                                  # 0..reps-1 pattern
     lane_mod = lane % ls
-    c = pl.program_id(1)
-
-    @pl.when(c == 0)
-    def _init():
-        t_ref[0] = jnp.full((SP, subpackets), _BIG, jnp.float32)
-        slot_ref[0] = jnp.full((SP, subpackets), _NOSLOT, jnp.int32)
+    c = pl.program_id(0)
 
     chunk_slot0 = c * leaves_per_chunk * ls               # scalar
 
@@ -496,17 +543,8 @@ def _leafcull_kernel(cand_ref, rays_ref, entries_ref, t_ref, slot_ref, *,
         t_cols.append(-umax * inva)                       # t = -u / a
         slot_cols.append(slot)
 
-    t_new = jnp.concatenate(t_cols, axis=1)               # (SP, S)
-    slot_new = jnp.concatenate(slot_cols, axis=1)
-    # Min-merge into the revisited block. Strict < keeps the earlier
-    # chunk's winner on exact ties; chunks ascend in slot order, matching
-    # brute force's first-hit tie-break.
-    hit_new = slot_new < _NOSLOT
-    t_cur = t_ref[0]
-    slot_cur = slot_ref[0]
-    better = hit_new & (t_new < jnp.where(slot_cur < _NOSLOT, t_cur, _BIG))
-    t_ref[0] = jnp.where(better, t_new, t_cur)
-    slot_ref[0] = jnp.where(better, slot_new, slot_cur)
+    t_ref[0, 0] = jnp.concatenate(t_cols, axis=1)         # (SP, S)
+    slot_ref[0, 0] = jnp.concatenate(slot_cols, axis=1)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -522,31 +560,40 @@ def _leafcull_call(feats: Array, cand: Array, entries: Array,
     rowlen = cand.shape[-1]
     kernel = functools.partial(
         _leafcull_kernel, subpackets=S, subpacket=SP, leaf_size=leaf_size,
-        leaves_per_chunk=leaves_per_chunk, leaves_per_group=leaves_per_group,
-        num_chunks=C)
-    return pl.pallas_call(
+        leaves_per_chunk=leaves_per_chunk, leaves_per_group=leaves_per_group)
+    t_c, slot_c = pl.pallas_call(
         kernel,
-        grid=(g, C),
+        grid=(C, g),
         in_specs=[
-            pl.BlockSpec((1, 1, S, rowlen), lambda i, c: (i, c, 0, 0),
+            pl.BlockSpec((1, 1, S, rowlen), lambda c, i: (i, c, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, S, SP, FEAT), lambda i, c: (i, 0, 0, 0),
+            pl.BlockSpec((1, S, SP, FEAT), lambda c, i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1,) + entries.shape[1:], lambda i, c: (c, 0, 0, 0),
+            pl.BlockSpec((1,) + entries.shape[1:], lambda c, i: (c, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, SP, S), lambda i, c: (i, 0, 0),
+            pl.BlockSpec((1, 1, SP, S), lambda c, i: (c, i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, SP, S), lambda i, c: (i, 0, 0),
+            pl.BlockSpec((1, 1, SP, S), lambda c, i: (c, i, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((g, SP, S), jnp.float32),
-            jax.ShapeDtypeStruct((g, SP, S), jnp.int32),
+            jax.ShapeDtypeStruct((C, g, SP, S), jnp.float32),
+            jax.ShapeDtypeStruct((C, g, SP, S), jnp.int32),
         ),
         interpret=interpret,
     )(cand, feats, entries)
+    if C == 1:
+        return t_c[0], slot_c[0]
+    # Min-merge the per-chunk partials. argmin picks the FIRST minimal
+    # entry, i.e. the lowest chunk on exact ties — chunks ascend in slot
+    # order, matching brute force's first-hit tie-break.
+    tm = jnp.where(slot_c < _NOSLOT, t_c, _BIG)
+    ci = jnp.argmin(tm, axis=0)[None]                     # (1, g, SP, S)
+    t = jnp.take_along_axis(t_c, ci, axis=0)[0]
+    slot = jnp.take_along_axis(slot_c, ci, axis=0)[0]
+    return t, slot
 
 
 @functools.partial(jax.jit, static_argnames=(
