@@ -208,7 +208,7 @@ def main():
             Bs = B // 8
             small = Ray(origin=origin[:Bs], direction=direction[:Bs])
             fn = jax.jit(lambda rr: nearest_hit_bvh(rr, scene, bvh).t)
-            dt, _ = _timeit(jax, fn, small, n_calls=3)
+            dt, _ = _timeit(jax, fn, small, n1=1, n2=3, repeats=1)
             value = Bs / dt / 1e6
             extras["path"] = "jnp_while_loop"
 

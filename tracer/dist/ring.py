@@ -178,9 +178,10 @@ def nearest_hit_ring(rays: Ray, scene: Scene, mesh: Mesh,
                 (o_blk, d_blk, tb, ib))
             return (o_blk, d_blk, tb, ib), None
 
-        tb0 = jax.lax.pvary(jnp.full(o.shape[0], jnp.inf, jnp.float32),
-                            (axis,))
-        ib0 = jax.lax.pvary(jnp.full(o.shape[0], -1, jnp.int32), (axis,))
+        tb0 = jax.lax.pcast(jnp.full(o.shape[0], jnp.inf, jnp.float32),
+                            (axis,), to="varying")
+        ib0 = jax.lax.pcast(jnp.full(o.shape[0], -1, jnp.int32), (axis,),
+                            to="varying")
         (o_blk, d_blk, tb, ib), _ = jax.lax.scan(
             step, (o, d, tb0, ib0), None, length=p)
         # After p rotations each block is back home with the global best.
