@@ -14,6 +14,7 @@ caller order afterwards.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from jax import Array
 
@@ -99,29 +100,36 @@ def plan_bucket_pad(sorted_codes: Array, subpacket: int,
     ncells = 1 << cell_bits
     cell = (sorted_codes >> (32 - cell_bits)).astype(jnp.int32)
     cid = jnp.arange(ncells, dtype=jnp.int32)
-    # Per-cell ray counts as one dense (B, ncells) compare-reduce over the
-    # ROW axis (cells on lanes). jnp.searchsorted here lowered to
-    # per-query binary-search gathers and measured ~60 ms at B=512k on
-    # v5e; a (ncells, B)-layout reduce over 512k-lane rows measured 20 ms;
-    # this layout is ~1 ms. start = exclusive prefix of cnt (cells are
-    # sorted, so no separate "<" reduction is needed).
-    cnt = jnp.sum(cell[:, None] == cid[None, :], axis=0, dtype=jnp.int32)
-    start = (jnp.cumsum(cnt) - cnt).astype(jnp.int32)
+    # Per-cell boundaries by searchsorted with ncells+1 QUERIES against the
+    # sorted codes (a couple hundred binary-search gathers). The round-3
+    # dense (B, ncells) compare-reduce was ~1 ms of compare work but its
+    # (B, 256) materialization measured 8.7 ms at B=512k; per-RAY
+    # searchsorted (B queries) was worse still (~60 ms). Query count is
+    # what matters.
+    edges = (cid.astype(jnp.uint32) << (32 - cell_bits))
+    bounds = jnp.searchsorted(sorted_codes,
+                              jnp.concatenate([edges, jnp.array(
+                                  [jnp.uint32(0xFFFFFFFF)])]),
+                              side="left").astype(jnp.int32)
+    bounds = bounds.at[-1].set(b)
+    cnt = bounds[1:] - bounds[:-1]
+    start = bounds[:-1]
     pad = (subpacket - cnt % subpacket) % subpacket
     pad_before = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(pad)[:-1].astype(jnp.int32)])
     dest = jnp.arange(b, dtype=jnp.int32) + pad_before[cell]
     bp = b + ncells * subpacket
-    pos = jnp.arange(bp, dtype=jnp.int32)
     # Padded cell c occupies [pstart[c], pstart[c+1]); both bounds are
-    # subpacket-aligned, so no subpacket straddles two cells. The slot ->
-    # cell map is again a dense (bp, ncells) compare-reduce.
+    # subpacket-aligned, so no subpacket straddles two cells. slot -> cell
+    # via a 256-element scatter-add of cell-boundary markers + one cumsum
+    # (the round-3 dense (bp, ncells) compare-reduce was the other half of
+    # the 8.7 ms).
     pstart = start + pad_before
-    pcell = jnp.clip(
-        jnp.sum(pos[:, None] >= pstart[None, :], axis=1, dtype=jnp.int32) - 1,
-        0, ncells - 1)
+    markers = jnp.zeros((bp + 1,), jnp.int32).at[pstart].add(1)
+    pcell = jnp.clip(jnp.cumsum(markers[:bp]) - 1, 0, ncells - 1)
     # One packed (ncells, 3) row gather instead of three scalar gathers.
     table = jnp.stack([pstart, start, cnt], axis=1)[pcell]
+    pos = jnp.arange(bp, dtype=jnp.int32)
     rel = pos - table[:, 0]
     src = table[:, 1] + jnp.minimum(rel, jnp.maximum(table[:, 2] - 1, 0))
     return jnp.clip(src, 0, b - 1), dest
@@ -175,12 +183,16 @@ def prep_rays_bucketed(rays: Ray, subpacket: int, cell_bits: int = 8):
     """
     o = rays.origin.reshape(-1, 3)
     d = rays.direction.reshape(-1, 3)
+    b = o.shape[0]
     codes = octahedral_codes(d)
-    perm = jnp.argsort(codes)
-    src, dest_sorted = plan_bucket_pad(codes[perm], subpacket, cell_bits)
+    iota = jnp.arange(b, dtype=jnp.int32)
+    sc, perm = jax.lax.sort((codes, iota), dimension=0, num_keys=1)
+    src, dest_sorted = plan_bucket_pad(sc, subpacket, cell_bits)
     op, dp = gather_rays(o, d, perm[src])
-    # dest_sorted maps sorted position -> slot; re-key it by original index.
-    dest = jnp.zeros_like(dest_sorted).at[perm].set(dest_sorted)
+    # dest_sorted maps sorted position -> slot; re-key by original index.
+    # Inverting the permutation by a second 2-operand sort (~2 ms at 512k)
+    # beats the i32 scatter XLA emits for .at[perm].set (~3 ms).
+    _, dest = jax.lax.sort((perm, dest_sorted), dimension=0, num_keys=1)
     return Ray(origin=op, direction=dp), dest
 
 

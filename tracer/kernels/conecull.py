@@ -1,0 +1,752 @@
+"""Cone-cull intersector: round-4 hot path (prim-granular candidates).
+
+Fifth-generation TPU design for the reference's closest-hit query
+(``ray_bvh_intersect``, src/hit.c:91-109). The round-3 leafcull kernel
+(tracer/kernels/leafcull.py) tests every prim of every candidate LEAF:
+measured at 100k spheres a 128-ray subpacket tests ~870-1900 prims where
+only ~115 lie in its true corridor — the leaf edge (~68 units) dominates
+the corridor cross-section, so most tested prims are dragged in by leaf
+granularity (docs/PERF.md). This kernel adds the two stages PERF.md round 3
+named as "the right long-term shape": a per-prim CONE test and an
+in-register stream compaction, fused into the Pallas kernel so candidates
+never leave VMEM:
+
+  1. phase A computes, per 128-ray subpacket, a bounding CONE
+     (apex box -> apex + dilation radius, direction box -> axis + half
+     angle) and culls with exact cone-vs-sphere tests instead of the
+     axis-decorrelated interval slab test -- cheaper (~15 ops vs ~40) and
+     tighter for diagonal cones.
+  2. the kernel walks candidate leaf quads exactly like leafcull
+     (pair-packed lane-replicated entries, 4 arbitrary leaves assembled
+     per 128-lane block), but instead of running the quadratic test on
+     every assembled block it first cone-tests the 128 prims (ops on one
+     (1,128) row), stream-compacts the survivors with a 7-pass butterfly
+     network, and appends them to an (8,256) accumulator at a dynamic
+     lane offset (pltpu.roll with traced shift). Only when 128 survivors
+     have accumulated does the full (SP,128) quadratic block run.
+     Survivor rate ~1/8 => ~8x fewer quadratic blocks.
+
+The cone tests are CONSERVATIVE (dilated by r_max + apex radius + slack);
+correctness never depends on them -- a prim outside the cone provably
+cannot satisfy the reference acceptance rule (disc > 0, near root,
+t > EPSILON; src/hit.c:19-39) for any ray of the subpacket, so dropping it
+cannot change any result. Degenerate subpackets (direction box straddling
+the origin) fall back to accept-all via an inflated dilation radius.
+
+Butterfly compaction correctness: survivors move left by
+d[i] = i - pos[i] where pos is the survivor rank; d is non-decreasing in
+i. Processing shift bits LSB->MSB, a collision at step k would need an
+occupant with remaining shift >= 2^(k+1) and an incomer with total shift
+< 2^(k+1) sitting to its right -- contradicting monotonicity, so each
+lane holds at most one live element at every step. Sources invalidate
+their stale copy the moment they are pulled.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import Array
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tracer.core.types import Ray, HitRecord
+from tracer.bvh.flat import FlatBVH
+from tracer.intersect.sphere import ray_sphere_t, hit_record_from_t, EPSILON
+from tracer.scene.scene import Scene
+from tracer.kernels.leafcull import (CullTables, build_cull_tables,
+                                     pack_ray_features, _compact_rows,
+                                     FEAT, LANES, SUBLANES, _BIG, _NOSLOT)
+
+CONE_FEAT = 16  # per-subpacket cone scalars, padded to one SMEM word
+
+
+@flax.struct.dataclass
+class ConeTables:
+    """CullTables plus the attr-major leaf-box rows + prim dilation bound.
+
+    cull:        the leafcull tables (entries/slot map reused verbatim).
+    leaf_boxes:  (Gc, lpg*6) f32 member-leaf AABBs packed attr-major per
+                 group row: [lpg lox | loy | loz | hix | hiy | hiz]. The
+                 refine gathers whole group rows and slices CONTIGUOUS
+                 lane runs per attribute -- the round-3 interval refine
+                 gathered box-major rows and paid a (P,48,128) transpose
+                 (~4 ms at 512k rays).
+    r_max:       float, max prim radius (global conservative dilation for
+                 the in-kernel per-prim cone test, which has no per-prim
+                 radius row: entries pack |c|^2 - r^2 only).
+    """
+
+    cull: CullTables
+    leaf_boxes: Array
+    r_max: float = flax.struct.field(pytree_node=False)
+
+
+def build_cone_tables(scene: Scene, bvh: FlatBVH,
+                      leaves_per_group: int = 16,
+                      max_chunk_bytes: int = 9 << 20) -> ConeTables:
+    cull = build_cull_tables(scene, bvh, leaves_per_group=leaves_per_group,
+                             max_chunk_bytes=max_chunk_bytes)
+    lpg = cull.leaves_per_group
+    lmin = np.asarray(cull.leaf_min)   # padding leaves: inverted +-3e38
+    lmax = np.asarray(cull.leaf_max)   # boxes, masked by num_real_leaves
+    L = cull.num_leaves
+
+    rows = np.empty((L // lpg, lpg * 6), np.float32)
+    for a in range(3):
+        rows[:, a * lpg:(a + 1) * lpg] = lmin[:, a].reshape(-1, lpg)
+        rows[:, (3 + a) * lpg:(4 + a) * lpg] = lmax[:, a].reshape(-1, lpg)
+
+    r_max = float(np.asarray(scene.radii).max()) if scene.radii.size else 0.0
+    return ConeTables(cull=cull, leaf_boxes=jnp.asarray(rows), r_max=r_max)
+
+
+# ---------------------------------------------------------------------------
+# Phase A: cone construction + cone-sphere culling
+# ---------------------------------------------------------------------------
+
+def _reduce_feats(feats: Array, red):
+    """Reduce (G, S, SP, FEAT) over SP -> (P, FEAT) without lane padding.
+
+    A direct ``feats.min(axis=2)`` keeps FEAT(16) as the minor dim, which
+    the TPU pads to 128 lanes -- 8x read inflation, measured 2.9 ms per
+    reduction at 512k rays. Viewing 8 rays' feature blocks as one 128-lane
+    row makes both reduction stages lane-aligned (~0.1 ms).
+    """
+    G, S, SP, F = feats.shape
+    k = LANES // F                                         # rays per row
+    v = feats.reshape(G, S, SP // k, k * F)
+    v = red(v, axis=2)                                     # (G, S, k*F)
+    v = red(v.reshape(G, S, k, F), axis=2)                 # (G, S, F)
+    return v.reshape(-1, F)
+
+
+def bounds_from_feats(feats: Array):
+    """Per-subpacket o/d interval bounds from the packed feature planes.
+
+    feats: (G, S, SP, FEAT) from pack_ray_features (lanes 0-2 = d,
+    3-5 = -2o). Returns o_lo, o_hi, d_lo, d_hi, each (P, 3). Reducing the
+    feature array replaces the round-3 axis-first transposes of the (B,3)
+    ray arrays, which measured 9.2 ms at 512k rays.
+    """
+    lo = _reduce_feats(feats, jnp.min)            # (P, FEAT)
+    hi = _reduce_feats(feats, jnp.max)
+    d_lo, d_hi = lo[:, 0:3], hi[:, 0:3]
+    o_lo, o_hi = hi[:, 3:6] * -0.5, lo[:, 3:6] * -0.5
+    return o_lo, o_hi, d_lo, d_hi
+
+
+def cone_from_feats(feats: Array, o_lo, o_hi, d_lo, d_hi,
+                    r_max: float, slack: float = 0.05):
+    """Per-subpacket bounding cone with an EXACT direction half-angle,
+    packed (P, CONE_FEAT).
+
+    Apex o0 = origin-box center, dilated by the box half-diagonal r_o;
+    axis u = normalized direction-box midpoint. cos(theta) is the exact
+    min over the subpacket's rays of u.d/|d| (a second reduction over the
+    feature planes: u.d from lanes 0-2, |d|^2 from lane 10), minus an fp
+    slack. The first-cut interval-corner bound degraded cos by O(theta)
+    (measured 0.82 vs a true 0.99 at 512k rays) because box corners are
+    not unit directions; the exact two-pass min costs one more cheap
+    feats reduction and keeps the cone tight.
+
+    Degenerate subpackets (cos below 0.05: direction box straddling the
+    origin, e.g. unsorted rays) get rho = 1e18 => the cone test accepts
+    everything (correct, slow).
+
+    Lanes: [o0x o0y o0z ux uy uz rho cos sin rho2 sinrho 0...] where
+    rho = r_max + r_o + slack is the PRIM-level dilation.
+    """
+    tiny = 1e-20
+    o0 = 0.5 * (o_lo + o_hi)
+    r_o = 0.5 * jnp.sqrt(jnp.sum((o_hi - o_lo) ** 2, axis=1))
+    mid = 0.5 * (d_lo + d_hi)
+    nrm = jnp.sqrt(jnp.sum(mid * mid, axis=1))
+    u = mid / jnp.maximum(nrm, tiny)[:, None]              # (P, 3)
+
+    # Exact per-ray u.d / |d| with every op lane-aligned: view 8 rays'
+    # feature blocks as one 128-lane row; per-ray segment sums (u.d) and
+    # the lane-10 pick (|d|^2) come out of one fixed (128, 16) f32 matmul
+    # against the u-scaled / raw rows. (The naive einsum kept FEAT=16
+    # minor and measured 3.5 ms at 512k rays.)
+    G, S, SP, F = feats.shape
+    k = LANES // F                                         # rays per row
+    P = o0.shape[0]
+    ucoef = jnp.concatenate(
+        [u, jnp.zeros((P, F - 3), jnp.float32)], axis=1)   # (P, F)
+    utile = jnp.tile(ucoef, (1, k)).reshape(G, S, 1, k * F)
+    v = feats.reshape(G, S, SP // k, k * F)
+    seg = jax.lax.broadcasted_iota(jnp.int32, (k * F, k), 0) // F
+    col = jax.lax.broadcasted_iota(jnp.int32, (k * F, k), 1)
+    msum = (seg == col).astype(jnp.float32)                # (k*F, k)
+    ud = jnp.einsum("gsrf,fk->gsrk", v * utile, msum,
+                    preferred_element_type=jnp.float32)    # (G,S,SP/k,k)
+    m10 = msum * (jax.lax.broadcasted_iota(jnp.int32, (k * F, 1), 0)
+                  % F == 10)
+    a = jnp.einsum("gsrf,fk->gsrk", v, m10,
+                   preferred_element_type=jnp.float32)     # |d|^2 per ray
+    dn = jnp.sqrt(jnp.maximum(a, tiny))
+    cos_exact = jnp.min((ud / dn).reshape(G, S, SP),
+                        axis=2).reshape(-1) - 1e-5
+    degenerate = (cos_exact <= 0.05) | (nrm <= tiny)
+    cos = jnp.clip(cos_exact, 0.05, 1.0)
+    sin = jnp.sqrt(jnp.maximum(1.0 - cos * cos, 0.0))
+    rho = r_max + r_o + slack
+    rho = jnp.where(degenerate, 1.0e18, rho)
+
+    P = o0.shape[0]
+    cols = [o0[:, 0], o0[:, 1], o0[:, 2], u[:, 0], u[:, 1], u[:, 2],
+            rho, cos, sin, rho * rho, sin * rho]
+    cols += [jnp.zeros((P,), jnp.float32)] * (CONE_FEAT - len(cols))
+    return jnp.stack(cols, axis=1).astype(jnp.float32)
+
+
+def _slab_hit_cols(o_lo, o_hi, d_lo, d_hi, blo, bhi):
+    """Interval slab test in column layout (transpose-free).
+
+    o_lo/o_hi/d_lo/d_hi: (P, 3) subpacket interval bounds. blo/bhi:
+    3-tuples of broadcastable (1|P, M) box coordinate arrays. Returns
+    (P, M) bool -- True whenever ANY ray inside the bounds COULD satisfy
+    the reference AABB acceptance (tmax >= tmin && tmax > EPSILON,
+    src/hit.c:81). Same interval math as leafcull._interval_slab_hit_t,
+    reorganized so every operand keeps P on sublanes and M on lanes.
+    """
+    big = 1.0e18
+    tnear, tfar = None, None
+    for a in range(3):
+        dl = d_lo[:, a:a + 1]
+        dh = d_hi[:, a:a + 1]
+        ol = o_lo[:, a:a + 1]
+        oh = o_hi[:, a:a + 1]
+        free = (dl <= 0.0) & (dh >= 0.0)
+        i_lo = 1.0 / jnp.where(free, 1.0, dh)
+        i_hi = 1.0 / jnp.where(free, 1.0, dl)
+
+        def imul(al, ah, bl, bh):
+            p1, p2, p3, p4 = al * bl, al * bh, ah * bl, ah * bh
+            return (jnp.minimum(jnp.minimum(p1, p2), jnp.minimum(p3, p4)),
+                    jnp.maximum(jnp.maximum(p1, p2), jnp.maximum(p3, p4)))
+
+        n1_lo, n1_hi = blo[a] - oh, blo[a] - ol
+        n2_lo, n2_hi = bhi[a] - oh, bhi[a] - ol
+        t1_lo, t1_hi = imul(n1_lo, n1_hi, i_lo, i_hi)
+        t2_lo, t2_hi = imul(n2_lo, n2_hi, i_lo, i_hi)
+        tn = jnp.where(free, -big, jnp.minimum(t1_lo, t2_lo))
+        tf = jnp.where(free, big, jnp.maximum(t1_hi, t2_hi))
+        tnear = tn if tnear is None else jnp.maximum(tnear, tn)
+        tfar = tf if tfar is None else jnp.minimum(tfar, tf)
+    return (tfar >= tnear) & (tfar > EPSILON)
+
+
+def cone_candidates(feats: Array, tables: ConeTables,
+                    max_groups: int, max_candidates: int):
+    """Cone-based phase A: feature planes -> per-(subpacket, chunk)
+    count-embedded candidate leaf rows + per-subpacket cone scalars.
+
+    Same row format / group-mode fallback / chunk handling as
+    leafcull.leaf_candidates, with both cull levels swapped to
+    cone-vs-sphere tests and the subpacket bounds taken from the feature
+    planes. Returns (rows (P, C, rowlen) i32, cones (P, CONE_FEAT) f32,
+    overflow () bool).
+
+    NOTE on the prim-level dilation: the kernel's per-prim test uses the
+    global r_max because entries carry |c|^2 - r^2, not r. The group/leaf
+    levels here use exact per-sphere radii.
+    """
+    cull = tables.cull
+    lpg = cull.leaves_per_group
+    lpc = cull.leaves_per_chunk
+    C = cull.num_chunks
+    G = cull.num_groups
+    k0 = min(max_groups, G)
+    k = min(max_candidates, lpc)
+    rowlen = -(-(k + 9) // LANES) * LANES
+
+    o_lo, o_hi, d_lo, d_hi = bounds_from_feats(feats)
+    cones = cone_from_feats(feats, o_lo, o_hi, d_lo, d_hi, tables.r_max)
+    P = cones.shape[0]
+
+    # Dense level: interval slab vs group AABBs (boxes, not bounding
+    # spheres: a 16-leaf group's bounding sphere is ~2x its box extent
+    # and measured hopelessly loose -- the slab test keeps the round-3
+    # tightness, the column layout drops its relayouts).
+    gm, gM = cull.group_min, cull.group_max
+    ghit = _slab_hit_cols(o_lo, o_hi, d_lo, d_hi,
+                          tuple(gm[None, :, a] for a in range(3)),
+                          tuple(gM[None, :, a] for a in range(3)))
+    real_group = (jnp.arange(G, dtype=jnp.int32) * lpg
+                  < cull.num_real_leaves)
+    ghit = ghit & real_group[None, :]
+    gids = jnp.broadcast_to(jnp.arange(G, dtype=jnp.int32), ghit.shape)
+    grow, gcounts = _compact_rows(ghit, gids, k0, G, k0 + 9)
+    gcand = grow[:, 1:k0 + 1]                              # (P, k0)
+
+    # Refine: slab vs member-leaf AABBs, gathered as whole attr-major
+    # group rows (contiguous lane slices, no transposes).
+    safe_g = jnp.minimum(gcand, G - 1)
+    rows_lb = tables.leaf_boxes[safe_g]                    # (P, k0, lpg*6)
+    att = [rows_lb[:, :, a * lpg:(a + 1) * lpg].reshape(P, -1)
+           for a in range(6)]                              # 6 x (P, k0*lpg)
+    member = (gcand[:, :, None] * lpg
+              + jnp.arange(lpg, dtype=jnp.int32)[None, None])
+    member = member.reshape(P, -1)
+    valid = member < cull.num_real_leaves
+    lhit = _slab_hit_cols(o_lo, o_hi, d_lo, d_hi,
+                          tuple(att[0:3]), tuple(att[3:6])) & valid
+
+    # Per-chunk compaction with group-mode fallback -- same scheme as
+    # leafcull.leaf_candidates (one global lane sort, C+1 threshold
+    # reduces, take_along_axis rows).
+    gpc = lpc // lpg
+    kg = min(gpc, rowlen - 9)
+    refine_truncated = gcounts > k0
+
+    def chunk_rows(mask, ids, sentinel, per_chunk, budget):
+        M = ids.shape[1]
+        key = jnp.where(mask, ids, jnp.int32(sentinel))
+        skey = jax.lax.sort(key, dimension=1)
+        th = (jnp.arange(C + 1, dtype=jnp.int32) * per_chunk)[None, :, None]
+        bounds = jnp.sum(skey[:, None, :] < th, axis=2, dtype=jnp.int32)
+        start, cnt = bounds[:, :C], bounds[:, 1:] - bounds[:, :C]
+        j = jnp.arange(budget, dtype=jnp.int32)
+        idx = jnp.minimum(start[:, :, None] + j[None, None, :], M - 1)
+        vals = jnp.take_along_axis(
+            jnp.broadcast_to(skey[:, None, :], (P, C, M)), idx, axis=2)
+        base = (jnp.arange(C, dtype=jnp.int32) * per_chunk)[None, :, None]
+        vals = jnp.where(
+            j[None, None, :] < jnp.minimum(cnt, budget)[..., None],
+            vals - base, per_chunk)
+        return vals, cnt
+
+    lvals, lcnt = chunk_rows(lhit, member, C * lpc, lpc, k)
+    gvals, gcnt = chunk_rows(ghit, gids, C * gpc, gpc, kg)
+
+    use_g = (lcnt > k) | refine_truncated[:, None]
+    overflow = jnp.any(use_g & (gcnt > kg))
+
+    pad = rowlen - 1 - max(k, kg)
+    cnt_col = jnp.where(use_g, -jnp.minimum(gcnt, kg), jnp.minimum(lcnt, k))
+    body = jnp.where(use_g[..., None],
+                     jnp.pad(gvals, ((0, 0), (0, 0), (0, max(k - kg, 0))),
+                             constant_values=gpc),
+                     jnp.pad(lvals, ((0, 0), (0, 0), (0, max(kg - k, 0))),
+                             constant_values=lpc))
+    rows = jnp.concatenate(
+        [cnt_col[..., None], body,
+         jnp.full((P, C, pad), lpc, jnp.int32)], axis=2)
+    return rows, cones, overflow
+
+
+# ---------------------------------------------------------------------------
+# Kernel-side compaction primitives
+# ---------------------------------------------------------------------------
+
+def _lane_iota(n: int) -> Array:
+    return jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+
+
+def _lane_cumsum(x: Array) -> Array:
+    """Inclusive cumsum of (1, n) i32 along lanes (log shift-adds;
+    jnp.cumsum has no Mosaic lowering)."""
+    n = x.shape[1]
+    lane = _lane_iota(n)
+    k = 1
+    while k < n:
+        x = x + jnp.where(lane >= k, pltpu.roll(x, k, axis=1), 0)
+        k *= 2
+    return x
+
+
+def compact_lanes(payload: Array, mask: Array):
+    """Stable left-compaction of masked lanes.
+
+    payload (R, n) f32 (rows move together), mask (1, n) bool. Returns
+    (compacted payload, survivor count () i32). Lanes >= count hold stale
+    values -- callers mask by count. Butterfly network, log2(n) passes of
+    static rolls; see module docstring for the no-collision argument.
+    """
+    n = payload.shape[1]
+    csum = _lane_cumsum(mask.astype(jnp.int32))            # (1, n)
+    cnt = jnp.max(csum)                                    # 0-d
+    lane = _lane_iota(n)
+    # rem = remaining left-shift distance; rem == 0 means "settled or not a
+    # survivor" (a settled survivor and a hole behave identically from here
+    # on: neither moves, either may be overwritten only by an arrival).
+    # A stale source copy is marked dead (rem = 0) the moment it is pulled.
+    rem = jnp.where(mask, lane + 1 - csum, 0)
+    k, bit = 1, 0
+    while k < n:
+        in_pay = pltpu.roll(payload, n - k, axis=1)   # left-roll by k
+        in_rem = pltpu.roll(rem, n - k, axis=1)
+        take = ((in_rem >> bit) & 1) == 1                  # implies in_rem>0
+        gone = ((rem >> bit) & 1) == 1
+        payload = jnp.where(take, in_pay, payload)
+        rem = jnp.where(take, in_rem - k, jnp.where(gone, 0, rem))
+        k *= 2
+        bit += 1
+    return payload, cnt
+
+
+# ---------------------------------------------------------------------------
+# Phase B: the kernel
+# ---------------------------------------------------------------------------
+
+def _sentinel_block(n: int = LANES):
+    """(8, n) block whose ccr row rejects every ray (same convention as
+    the table sentinel entry)."""
+    row = jax.lax.broadcasted_iota(jnp.int32, (SUBLANES, n), 0)
+    return jnp.where(row == 3, 1.0e30, 0.0)
+
+
+QUADS_PER_ITER = 8      # leaf quads walked per loop iteration
+ACC_BLOCKS = 10         # accumulator capacity: 127 carry + 8*128 appends
+
+
+def _conecull_kernel(cand_ref, rays_ref, cones_ref, entries_ref,
+                     t_ref, slot_ref, acc_ref, w_ref, ub_ref, ib_ref, *,
+                     subpackets: int, subpacket: int, leaf_size: int,
+                     leaves_per_chunk: int, leaves_per_group: int):
+    """Grid (C, G), chunk-major (same schedule as leafcull). Per subpacket:
+    walk candidate leaf quads QUADS_PER_ITER at a time; per quad: assemble
+    -> cone-refine prims -> butterfly-compact survivors; tree-merge the
+    iteration's compacted runs and append once into the (8, 1280)
+    accumulator; quadratic-test full 128-lane blocks as they fill.
+
+    Structure is dictated by two measured Mosaic facts: (a) a fori_loop
+    iteration costs ~300-450 ns regardless of body size up to ~150 vector
+    ops (tools/../micro benches, v5e) -- so the loop walks 8 quads per
+    iteration, as 8 INDEPENDENT dependency chains the VLIW scheduler can
+    interleave; (b) lax.cond over vector carries fails to legalize
+    (predicated into scalar-pred vector selects), so all walk state lives
+    in scratch refs mutated under ``@pl.when``.
+    """
+    SP = subpacket
+    ls = leaf_size
+    LPG = leaves_per_group
+    rowlen = cand_ref.shape[-1]
+    ACCW = ACC_BLOCKS * LANES
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+    quarter = lane // ls
+    lane_mod = lane % ls
+    c = pl.program_id(0)
+    chunk_slot0 = c * leaves_per_chunk * ls
+
+    sent = _sentinel_block()
+
+    t_cols = []
+    slot_cols = []
+    for s in range(subpackets):
+        f = rays_ref[0, s]                                 # (SP, FEAT)
+        od, oo = f[:, 8:9], f[:, 9:10]
+        av, inva = f[:, 10:11], f[:, 11:12]
+        epsa = f[:, 12:13]
+        dx, dy, dz = f[:, 0:1], f[:, 1:2], f[:, 2:3]
+        nox2, noy2, noz2 = f[:, 3:4], f[:, 4:5], f[:, 5:6]
+        nc = cand_ref[0, 0, s, 0]
+
+        o0x = cones_ref[0, 0, s, 0]
+        o0y = cones_ref[0, 0, s, 1]
+        o0z = cones_ref[0, 0, s, 2]
+        ux = cones_ref[0, 0, s, 3]
+        uy = cones_ref[0, 0, s, 4]
+        uz = cones_ref[0, 0, s, 5]
+        cth = cones_ref[0, 0, s, 7]
+        rho2 = cones_ref[0, 0, s, 9]
+        sinrho = cones_ref[0, 0, s, 10]
+
+        acc_ref[:] = _sentinel_block(ACCW)
+        w_ref[0] = 0
+        ub_ref[:] = jnp.full((SP, LANES), -_BIG, jnp.float32)
+        ib_ref[:] = jnp.full((SP, LANES), _NOSLOT, jnp.int32)
+
+        def refine(A):
+            """(4,128) assembled attrs -> (1,128) survivor mask."""
+            cx, cy, cz, ccr = A[0:1], A[1:2], A[2:3], A[3:4]
+            vx = cx - o0x
+            vy = cy - o0y
+            vz = cz - o0z
+            d2 = vx * vx + vy * vy + vz * vz
+            uv = ux * vx + uy * vy + uz * vz
+            q = d2 - rho2
+            sq = jnp.sqrt(jnp.maximum(q, 0.0))
+            ok = (uv + sinrho >= cth * sq) | (q <= 0.0)
+            return ok & (ccr < 1.0e29)
+
+        def test_first_block():
+            """Quadratic-test the accumulator's first 128 lanes into
+            ub/ib. Sentinel ccr=1e30 lanes can never pass."""
+            A = acc_ref[:, :LANES]
+            cx, cy, cz, ccr = A[0:1], A[1:2], A[2:3], A[3:4]
+            pslot = A[4:5].astype(jnp.int32)
+            ub = ub_ref[:]
+            m1 = dx * cx + dy * cy + dz * cz
+            m2 = nox2 * cx + noy2 * cy + noz2 * cz + ccr
+            bp = od - m1
+            cq = m2 + oo
+            disc = bp * bp - av * cq
+            u = bp + jnp.sqrt(jnp.maximum(disc, 0.0))
+            ok = (disc > 0.0) & (u < -epsa) & (u > ub)
+            ub_ref[:] = jnp.where(ok, u, ub)
+            ib_ref[:] = jnp.where(ok, pslot, ib_ref[:])
+
+        def quad_compact(lids):
+            """4 leaf ids -> (compacted payload (8,128), count). Assembles
+            the pair-packed entries by lane quarter, cone-refines the 128
+            prims, butterfly-compacts the survivors."""
+            loads = []
+            for l in lids:
+                e = entries_ref[0, l // 2]                 # (8, 128)
+                loads.append(jax.lax.select(l % 2 == 0, e[0:4], e[4:8]))
+            A = jnp.where(quarter % 4 < 2,
+                          jnp.where(quarter % 4 == 0, loads[0], loads[1]),
+                          jnp.where(quarter % 4 == 2, loads[2], loads[3]))
+            lid = jnp.where(
+                quarter % 4 < 2,
+                jnp.where(quarter % 4 == 0, lids[0], lids[1]),
+                jnp.where(quarter % 4 == 2, lids[2], lids[3]))
+            pslot = (chunk_slot0 + lid * ls + lane_mod).astype(jnp.float32)
+            mask = refine(A)
+            payload = jnp.concatenate(
+                [A, pslot, jnp.zeros((3, LANES), jnp.float32)], axis=0)
+            return compact_lanes(payload, mask)
+
+        def merge(a, b):
+            """Concatenate two equal-width compacted runs (pay, cnt) into
+            one of twice the width (b slides in at a's count)."""
+            (a_pay, a_cnt), (b_pay, b_cnt) = a, b
+            w = a_pay.shape[1]
+            s2 = _sentinel_block(w)
+            a2 = jnp.concatenate([a_pay, s2], axis=1)
+            b2 = jnp.concatenate([b_pay, s2], axis=1)
+            rolledb = pltpu.roll(b2, a_cnt, axis=1)        # no wrap: cnts<=w
+            l2 = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * w), 1)
+            sel = (l2 >= a_cnt) & (l2 < a_cnt + b_cnt)
+            return jnp.where(sel, rolledb, a2), a_cnt + b_cnt
+
+        def push_runs(runs):
+            """Tree-merge this iteration's compacted runs, append once into
+            the accumulator, then drain full 128-lane blocks."""
+            while len(runs) > 1:
+                runs = [merge(runs[i], runs[i + 1])
+                        for i in range(0, len(runs), 2)]
+            run, cnt = runs[0]
+            W = w_ref[0]
+            wide = jnp.concatenate(
+                [run, _sentinel_block(ACCW - run.shape[1])], axis=1)
+            rolled = pltpu.roll(wide, W, axis=1)           # W<128, no wrap
+            la = jax.lax.broadcasted_iota(jnp.int32, (1, ACCW), 1)
+            sel = (la >= W) & (la < W + cnt)
+            acc_ref[:] = jnp.where(sel, rolled, acc_ref[:])
+            w_ref[0] = W + cnt
+            for _ in range(QUADS_PER_ITER):
+                @pl.when(w_ref[0] >= LANES)
+                def _():
+                    test_first_block()
+                    acc_ref[:] = jnp.concatenate(
+                        [acc_ref[:, LANES:], sent], axis=1)
+                    w_ref[0] = w_ref[0] - LANES
+
+        @pl.when(nc >= 0)
+        def _(s=s):
+            def body(it, carry, s=s):
+                runs = []
+                for q in range(QUADS_PER_ITER):
+                    jq = it * QUADS_PER_ITER + q
+                    lids = [
+                        jnp.minimum(
+                            cand_ref[0, 0, s,
+                                     jnp.minimum(1 + 4 * jq + t, rowlen - 1)],
+                            leaves_per_chunk)
+                        for t in range(4)]
+                    runs.append(quad_compact(lids))
+                push_runs(runs)
+                return carry
+            nq = (nc + 3) // 4
+            jax.lax.fori_loop(0, (nq + QUADS_PER_ITER - 1) // QUADS_PER_ITER,
+                              body, 0)
+
+        @pl.when(nc < 0)
+        def _(s=s):
+            qpg = LPG // 4                                 # quads per group
+            def body(it, carry, s=s):
+                runs = []
+                for q in range(QUADS_PER_ITER):
+                    jq = it * QUADS_PER_ITER + q
+                    g = cand_ref[0, 0, s,
+                                 jnp.minimum(1 + jq // qpg, rowlen - 1)]
+                    base = g * LPG + (jq % qpg) * 4
+                    lids = [jnp.minimum(base + t, leaves_per_chunk)
+                            for t in range(4)]
+                    runs.append(quad_compact(lids))
+                push_runs(runs)
+                return carry
+            nq = -nc * qpg
+            jax.lax.fori_loop(0, (nq + QUADS_PER_ITER - 1) // QUADS_PER_ITER,
+                              body, 0)
+
+        # Final partial block: lanes >= W are sentinel (appends never
+        # touched them), so no masking is needed.
+        @pl.when(w_ref[0] > 0)
+        def _():
+            test_first_block()
+
+        ub, ib = ub_ref[:], ib_ref[:]
+        umax = jnp.max(ub, axis=1, keepdims=True)
+        win = (ub == umax) & (ib < _NOSLOT)
+        slot = jnp.min(jnp.where(win, ib, _NOSLOT), axis=1, keepdims=True)
+        t_cols.append(-umax * inva)
+        slot_cols.append(slot)
+
+    t_ref[0, 0] = jnp.concatenate(t_cols, axis=1)
+    slot_ref[0, 0] = jnp.concatenate(slot_cols, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "subpackets", "subpacket", "leaf_size", "leaves_per_chunk",
+    "leaves_per_group", "interpret"))
+def _conecull_call(feats: Array, cand: Array, cones: Array, entries: Array,
+                   subpackets: int, subpacket: int, leaf_size: int,
+                   leaves_per_chunk: int, leaves_per_group: int,
+                   interpret: bool = False):
+    g = feats.shape[0]
+    C = entries.shape[0]
+    S, SP = subpackets, subpacket
+    rowlen = cand.shape[-1]
+    kernel = functools.partial(
+        _conecull_kernel, subpackets=S, subpacket=SP, leaf_size=leaf_size,
+        leaves_per_chunk=leaves_per_chunk, leaves_per_group=leaves_per_group)
+    t_c, slot_c = pl.pallas_call(
+        kernel,
+        grid=(C, g),
+        in_specs=[
+            pl.BlockSpec((1, 1, S, rowlen), lambda c, i: (i, c, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, S, SP, FEAT), lambda c, i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, S, CONE_FEAT), lambda c, i: (i, 0, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1,) + entries.shape[1:], lambda c, i: (c, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, SP, S), lambda c, i: (c, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, SP, S), lambda c, i: (c, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((C, g, SP, S), jnp.float32),
+            jax.ShapeDtypeStruct((C, g, SP, S), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((SUBLANES, ACC_BLOCKS * LANES), jnp.float32),  # acc
+            pltpu.SMEM((1,), jnp.int32),                      # write offset
+            pltpu.VMEM((SP, LANES), jnp.float32),             # best u
+            pltpu.VMEM((SP, LANES), jnp.int32),               # best slot
+        ],
+        interpret=interpret,
+    )(cand, feats, cones, entries)
+    if C == 1:
+        return t_c[0], slot_c[0]
+    tm = jnp.where(slot_c < _NOSLOT, t_c, _BIG)
+    ci = jnp.argmin(tm, axis=0)[None]
+    t = jnp.take_along_axis(t_c, ci, axis=0)[0]
+    slot = jnp.take_along_axis(slot_c, ci, axis=0)[0]
+    return t, slot
+
+
+def _run(rays: Ray, tables: ConeTables, max_groups: int,
+         max_candidates: int, subpackets: int, subpacket: int,
+         interpret: bool):
+    cull = tables.cull
+    batch_shape = rays.batch_shape
+    o = rays.origin.reshape(-1, 3)
+    d = rays.direction.reshape(-1, 3)
+    b = o.shape[0]
+
+    feats, g, pad = pack_ray_features(o, d, subpackets, subpacket)
+    rows, cones, overflow = cone_candidates(feats, tables, max_groups,
+                                            max_candidates)
+    rows = rows.reshape(g, subpackets, cull.num_chunks,
+                        rows.shape[-1]).transpose(0, 2, 1, 3)
+    cones = cones.reshape(g, 1, subpackets, CONE_FEAT)
+
+    t_k, slot = _conecull_call(feats, rows, cones, cull.entries, subpackets,
+                               subpacket, cull.leaf_size,
+                               cull.leaves_per_chunk, cull.leaves_per_group,
+                               interpret=interpret)
+    slot = slot.transpose(0, 2, 1).reshape(-1)[:b]
+    t_k = t_k.transpose(0, 2, 1).reshape(-1)[:b]
+    return o, d, slot, t_k, overflow, batch_shape
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "max_groups", "max_candidates", "subpackets", "subpacket", "interpret"))
+def nearest_hit_conecull_t(rays: Ray, tables: ConeTables,
+                           max_groups: int = 64, max_candidates: int = 119,
+                           subpackets: int = 8, subpacket: int = 128,
+                           interpret: bool = False):
+    """Lite closest hit: (t, sphere_id, overflow) straight from the kernel
+    (same contract as leafcull.nearest_hit_leafcull_t)."""
+    o, d, slot, t_k, overflow, batch_shape = _run(
+        rays, tables, max_groups, max_candidates, subpackets, subpacket,
+        interpret)
+    cull = tables.cull
+    hit = slot < _NOSLOT
+    sphere_id = jnp.where(
+        hit, cull.slot_to_sphere[jnp.where(hit, slot, 0)], -1)
+    t = jnp.where(hit, t_k, jnp.inf)
+    return (t.reshape(batch_shape), sphere_id.reshape(batch_shape), overflow)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "max_groups", "max_candidates", "subpackets", "subpacket", "interpret"))
+def nearest_hit_conecull(rays: Ray, scene: Scene, tables: ConeTables,
+                         max_groups: int = 64, max_candidates: int = 119,
+                         subpackets: int = 8, subpacket: int = 128,
+                         interpret: bool = False):
+    """Closest hit via cone cull + compacted prim tests.
+
+    Rays should be pre-sorted (tracer/core/sort.py). Returns
+    ``(HitRecord, overflow)``; on overflow re-dispatch with larger budgets
+    (``nearest_hit_conecull_checked`` automates this)."""
+    o, d, slot, _, overflow, batch_shape = _run(
+        rays, tables, max_groups, max_candidates, subpackets, subpacket,
+        interpret)
+    cull = tables.cull
+    hit = slot < _NOSLOT
+    sphere_id = jnp.where(
+        hit, cull.slot_to_sphere[jnp.where(hit, slot, 0)], -1)
+
+    safe = jnp.maximum(sphere_id, 0)
+    t = ray_sphere_t(o, d, scene.centers[safe], scene.radii[safe])
+    t = jnp.where(sphere_id >= 0, t, jnp.inf)
+    rec = hit_record_from_t(Ray(origin=o, direction=d), t, sphere_id,
+                            scene.centers)
+    rec = jax.tree_util.tree_map(
+        lambda x: x.reshape(*batch_shape, *x.shape[1:]), rec)
+    return rec, overflow
+
+
+def nearest_hit_conecull_checked(rays: Ray, scene: Scene, tables: ConeTables,
+                                 max_groups: int = 64,
+                                 max_candidates: int = 119,
+                                 subpackets: int = 8, subpacket: int = 128,
+                                 interpret: bool = False) -> HitRecord:
+    """Escalating driver: doubles both candidate budgets until no subpacket
+    overflows."""
+    cull = tables.cull
+    k0, k = max_groups, max_candidates
+    while True:
+        rec, overflow = nearest_hit_conecull(
+            rays, scene, tables, max_groups=k0, max_candidates=k,
+            subpackets=subpackets, subpacket=subpacket, interpret=interpret)
+        done = (k0 >= cull.num_groups) and (k >= cull.leaves_per_chunk)
+        if not bool(overflow) or done:
+            return rec
+        k0 = min(2 * k0, cull.num_groups)
+        k = min(2 * k, cull.leaves_per_chunk)
