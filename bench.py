@@ -140,8 +140,7 @@ def main():
         fA = jax.jit(lambda o, d: leaf_candidates(o, d, tables, 48, 119,
                                                   SP)[0])
         dtA, rows = _timeit(jax, fA, o2, d2)
-        rowsk = rows.reshape(g, S, tables.num_chunks,
-                             rows.shape[-1]).transpose(0, 2, 1, 3)
+        rowsk = rows.reshape(g, S, tables.num_chunks, rows.shape[-1])
         rowsk, feats = jax.block_until_ready((rowsk, feats))
         fB = lambda f, rr: _leafcull_call(
             f, rr, tables.entries, S, SP, tables.leaf_size,

@@ -95,7 +95,8 @@ def test_cone_candidates_cover_brute_hits():
     rays = _origin_rays(512)
     padded, dest = prep_rays_bucketed(rays, 64, cell_bits=4)
     feats, g, pad = pack_ray_features(padded.origin, padded.direction, 8, 64)
-    rows, cones, overflow = cone_candidates(feats, tables, 64, 119)
+    rows, cones, overflow = cone_candidates(feats, tables, 64, 119,
+                                            interpret=True)
     rows = np.asarray(rows)
     assert not bool(overflow)
 
@@ -196,3 +197,37 @@ def test_conecull_general_origins():
     ref = nearest_hit_brute(padded, scene)
     np.testing.assert_array_equal(np.asarray(rec.index),
                                   np.asarray(ref.index))
+
+
+def test_hybrid_raw_order_matches_t():
+    scene, bvh = _scene_bvh(n=500, leaf_size=8)
+    from tracer.kernels.conecull import (nearest_hit_hybrid_raw,
+                                         nearest_hit_hybrid_t,
+                                         kernel_order_dest)
+    tables = build_cone_tables(scene, bvh)
+    rays = _origin_rays(512)
+    padded, dest = prep_rays_bucketed(rays, 64, cell_bits=4)
+    t_raw, slot_raw, ovf = nearest_hit_hybrid_raw(
+        padded, tables, subpackets=4, subpacket=64, interpret=True)
+    t_ref, sid_ref, _ = nearest_hit_hybrid_t(
+        padded, tables, subpackets=4, subpacket=64, interpret=True)
+    dest2 = kernel_order_dest(dest, 4, 64)
+    np.testing.assert_array_equal(np.asarray(t_raw)[np.asarray(dest2)],
+                                  np.asarray(t_ref)[np.asarray(dest)])
+    # slot ids map back to input-order sphere ids via slot_to_sphere
+    s2s = np.asarray(tables.cull.slot_to_sphere)
+    sr = np.asarray(slot_raw)[np.asarray(dest2)]
+    sid = np.where(sr >= 0, s2s[np.maximum(sr, 0)], -1)
+    np.testing.assert_array_equal(sid, np.asarray(sid_ref)[np.asarray(dest)])
+
+
+def test_hybrid_matches_brute():
+    scene, bvh = _scene_bvh(n=700, leaf_size=8)
+    from tracer.kernels.conecull import nearest_hit_hybrid_t
+    tables = build_cone_tables(scene, bvh)
+    rays = _origin_rays(1024)
+    padded, dest = prep_rays_bucketed(rays, 64, cell_bits=4)
+    t, sid, ovf = nearest_hit_hybrid_t(padded, tables, subpackets=4,
+                                       subpacket=64, interpret=True)
+    ref = nearest_hit_brute(padded, scene)
+    np.testing.assert_array_equal(np.asarray(sid), np.asarray(ref.index))

@@ -72,7 +72,7 @@ def test_device_bvh_cull_tables_equal_brute(rng):
     n = 1200
     scene = benchmark_scene(jax.random.PRNGKey(3), n, world_size=70.0)
     bvh = build_bvh_device(scene.centers, scene.radii, leaf_size=8)
-    tables = build_cull_tables(scene, bvh, leaves_per_group=8)
+    tables = build_cull_tables(scene, bvh, leaves_per_group=16)
     rays = _rand_rays(rng, 1024, span=15.0)
     sorted_rays, inv = sort_rays_octahedral(rays)
     ref = nearest_hit_brute(rays, scene)

@@ -42,7 +42,7 @@ def _assert_matches_brute(got, ref, rtol=2e-4):
                                rtol=rtol, atol=1e-5)
 
 
-def _tables(scene, leaf=8, lpg=8, chunk_mb=9.0):
+def _tables(scene, leaf=8, lpg=16, chunk_mb=9.0):
     bvh = build_bvh(np.asarray(scene.centers), np.asarray(scene.radii),
                     leaf_size=leaf)
     return build_cull_tables(scene, bvh, leaves_per_group=lpg,
@@ -112,11 +112,11 @@ def test_leafcull_group_mode_fallback_correct(rng):
 def test_leafcull_overflow_flag_on_wide_group_rows(rng):
     # A chunk with more groups than a group row can hold (kg = 119) plus
     # incoherent subpackets must raise the overflow flag from phase A.
-    n = 2500
+    n = 5000
     scene = benchmark_scene(jax.random.PRNGKey(23), n, world_size=25.0)
     bvh = build_bvh(np.asarray(scene.centers), np.asarray(scene.radii),
                     leaf_size=2)
-    tables = build_cull_tables(scene, bvh, leaves_per_group=8)
+    tables = build_cull_tables(scene, bvh, leaves_per_group=16)
     assert tables.leaves_per_chunk // tables.leaves_per_group > 119
 
     from tracer.kernels.leafcull import leaf_candidates

@@ -25,7 +25,7 @@ def _scene_tables(n=600, world=50.0, params=None, leaf=8):
     scale = soft_radius_scale(params)
     bvh = build_bvh(np.asarray(scene.centers),
                     np.asarray(scene.radii) * scale, leaf_size=leaf)
-    tables = build_cull_tables(scene, bvh, leaves_per_group=8)
+    tables = build_cull_tables(scene, bvh, leaves_per_group=16)
     return scene, tables, params
 
 

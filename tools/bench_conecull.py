@@ -92,8 +92,7 @@ def main():
     feats, g, pad = pack_ray_features(rays.origin, rays.direction, S, SP)
     fA = jax.jit(lambda f: cone_candidates(f, tables, 64, 119)[:2])
     msA, (rows, cones) = timeit(fA, feats)
-    rowsk = rows.reshape(g, S, cull.num_chunks,
-                         rows.shape[-1]).transpose(0, 2, 1, 3)
+    rowsk = rows.reshape(g, S, cull.num_chunks, rows.shape[-1])
     conesk = cones.reshape(g, 1, S, CONE_FEAT)
     rowsk, conesk, feats = jax.block_until_ready((rowsk, conesk, feats))
     fB = lambda f, rr, cc: _conecull_call(
@@ -126,5 +125,80 @@ def main():
     print(f"t agreement conecull vs leafcull: {agree:.6f}")
 
 
+def bench_hybrid():
+    """Hybrid path: cone_candidates phase A + 16-wide leafcull kernel."""
+    import jax, jax.numpy as jnp
+    scene = benchmark_scene(jax.random.PRNGKey(1), N, world_size=WORLD if 'WORLD' in globals() else 1000.0)
+    c = np.asarray(scene.centers); r = np.asarray(scene.radii)
+    bvh = build_bvh(c, r, leaf_size=32)
+    rng = np.random.default_rng(0)
+    d = rng.uniform(-1, 1, (B, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    o = jnp.zeros((B, 3), jnp.float32); d = jnp.asarray(d)
+    prep = jax.jit(lambda o, d: prep_rays_bucketed(
+        Ray(origin=o, direction=d), SP, cell_bits=CELL_BITS))
+    ms_prep, (rays, dest) = timeit(prep, o, d)
+    from tracer.kernels.conecull import build_cone_tables, nearest_hit_hybrid_t
+    tables = build_cone_tables(scene, bvh)
+    for mg in (64, 96, 128):
+        fn = jax.jit(lambda rr, mg=mg: nearest_hit_hybrid_t(
+            rr, tables, max_groups=mg, max_candidates=119,
+            subpackets=8, subpacket=SP)[0])
+        ms, t = timeit(fn, rays)
+        full = ms + ms_prep
+        print(f"hybrid mg={mg}: {ms:.2f} ms ({B/ms/1e3:.1f} Mrays/s) | "
+              f"honest {full:.2f} ms ({B/full/1e3:.1f} Mrays/s)", flush=True)
+
+
+
+
+
+def bench_raw():
+    """Raw-order honest pipeline: prep(+dest remap) + phase A + kernel16."""
+    import jax, jax.numpy as jnp
+    from tracer.kernels.conecull import (build_cone_tables,
+                                         nearest_hit_hybrid_raw,
+                                         kernel_order_dest)
+    scene = benchmark_scene(jax.random.PRNGKey(1), N, world_size=1000.0)
+    bvh = build_bvh(np.asarray(scene.centers), np.asarray(scene.radii),
+                    leaf_size=32)
+    rng = np.random.default_rng(0)
+    d = rng.uniform(-1, 1, (B, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    o = jnp.zeros((B, 3), jnp.float32); d = jnp.asarray(d)
+    tables = build_cone_tables(scene, bvh)
+
+    def prep(o, d):
+        rays, dest = prep_rays_bucketed(Ray(origin=o, direction=d), SP,
+                                        cell_bits=CELL_BITS)
+        return rays, kernel_order_dest(dest, 8, SP)
+    prepj = jax.jit(prep)
+    msp, (rays, dest2) = timeit(prepj, o, d)
+    print(f"prep(+dest remap): {msp:.2f} ms", flush=True)
+
+    for mg in (64, 96):
+        fn = jax.jit(lambda rr, mg=mg: nearest_hit_hybrid_raw(
+            rr, tables, max_groups=mg, max_candidates=119,
+            subpackets=8, subpacket=SP)[0])
+        ms, t = timeit(fn, rays)
+        hits = int(np.isfinite(np.asarray(t)[np.asarray(dest2)]).sum())
+        full = ms + msp
+        print(f"raw mg={mg}: query {ms:.2f} ms ({B/ms/1e3:.1f} Mrays/s) | "
+              f"honest {full:.2f} ms ({B/full/1e3:.1f} Mrays/s) "
+              f"hits={hits/B:.4f}", flush=True)
+
+    # one fused jit: prep + query together
+    def oneshot(o, d):
+        rays, dest2 = prep(o, d)
+        t, slot, ovf = nearest_hit_hybrid_raw(rays, tables, max_groups=64,
+                                              max_candidates=119,
+                                              subpackets=8, subpacket=SP)
+        return t, dest2
+    fos = jax.jit(oneshot)
+    ms, _ = timeit(fos, o, d)
+    print(f"oneshot fused: {ms:.2f} ms ({B/ms/1e3:.1f} Mrays/s)", flush=True)
+
+
 if __name__ == "__main__":
-    main()
+    mode = sys.argv[2] if len(sys.argv) > 2 else "main"
+    {"hybrid": bench_hybrid, "raw": bench_raw}.get(mode, main)()

@@ -174,8 +174,7 @@ def main():
     print(f"leaf_candidates TOTAL: {ms:.2f} ms (overflow={bool(ovf)})")
 
     # kernel
-    rowsk = rows.reshape(g, 8, tables.num_chunks,
-                         rows.shape[-1]).transpose(0, 2, 1, 3)
+    rowsk = rows.reshape(g, 8, tables.num_chunks, rows.shape[-1])
     rowsk, feats = jax.block_until_ready((rowsk, feats))
     fB = lambda f, rr: _leafcull_call(
         f, rr, tables.entries, 8, SP, tables.leaf_size,

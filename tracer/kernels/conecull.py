@@ -243,7 +243,8 @@ def _slab_hit_cols(o_lo, o_hi, d_lo, d_hi, blo, bhi):
 
 
 def cone_candidates(feats: Array, tables: ConeTables,
-                    max_groups: int, max_candidates: int):
+                    max_groups: int, max_candidates: int,
+                    interpret: bool = False):
     """Cone-based phase A: feature planes -> per-(subpacket, chunk)
     count-embedded candidate leaf rows + per-subpacket cone scalars.
 
@@ -262,9 +263,11 @@ def cone_candidates(feats: Array, tables: ConeTables,
     lpc = cull.leaves_per_chunk
     C = cull.num_chunks
     G = cull.num_groups
-    k0 = min(max_groups, G)
+    # Multiple of 8 so the member expansion is a whole number of 128-lane
+    # words (lpg = 16).
+    k0 = -(-min(max_groups, G) // 8) * 8
     k = min(max_candidates, lpc)
-    rowlen = -(-(k + 9) // LANES) * LANES
+    rowlen = -(-(k + 17) // LANES) * LANES  # leafcull16 overread guard
 
     o_lo, o_hi, d_lo, d_hi = bounds_from_feats(feats)
     cones = cone_from_feats(feats, o_lo, o_hi, d_lo, d_hi, tables.r_max)
@@ -282,8 +285,18 @@ def cone_candidates(feats: Array, tables: ConeTables,
                   < cull.num_real_leaves)
     ghit = ghit & real_group[None, :]
     gids = jnp.broadcast_to(jnp.arange(G, dtype=jnp.int32), ghit.shape)
-    grow, gcounts = _compact_rows(ghit, gids, k0, G, k0 + 9)
-    gcand = grow[:, 1:k0 + 1]                              # (P, k0)
+
+    # Stream-compact surviving group ids (already ascending) with the
+    # butterfly kernel; sentinel G == C * (groups/chunk) lines up with the
+    # chunk thresholds below.
+    Gpad = -(-G // LANES) * LANES
+    gm_ids = jnp.where(ghit, gids, G)
+    gm_ids = jnp.pad(gm_ids, ((0, 0), (0, Gpad - G)), constant_values=G)
+    K0 = min(Gpad, max(-(-k0 // LANES) * LANES, 4 * LANES))
+    gprefix, gtotal = compact_ascending_rows(gm_ids, G, K0,
+                                             interpret=interpret)
+    gcand = gprefix[:, :k0] if k0 <= K0 else jnp.pad(
+        gprefix, ((0, 0), (0, k0 - K0)), constant_values=G)
 
     # Refine: slab vs member-leaf AABBs, gathered as whole attr-major
     # group rows (contiguous lane slices, no transposes).
@@ -298,35 +311,55 @@ def cone_candidates(feats: Array, tables: ConeTables,
     lhit = _slab_hit_cols(o_lo, o_hi, d_lo, d_hi,
                           tuple(att[0:3]), tuple(att[3:6])) & valid
 
-    # Per-chunk compaction with group-mode fallback -- same scheme as
-    # leafcull.leaf_candidates (one global lane sort, C+1 threshold
-    # reduces, take_along_axis rows).
+    # Per-chunk rows from the compacted prefixes (C+1 threshold reduces +
+    # take_along windows, all on narrow arrays). The round-3 formulation
+    # ran the same logic after an XLA lane SORT of the full (P, k0*lpg)
+    # candidate plane -- 5-8 ms of bitonic passes for ids that were
+    # already in order.
     gpc = lpc // lpg
     kg = min(gpc, rowlen - 9)
-    refine_truncated = gcounts > k0
+    refine_truncated = gtotal > k0
 
-    def chunk_rows(mask, ids, sentinel, per_chunk, budget):
-        M = ids.shape[1]
-        key = jnp.where(mask, ids, jnp.int32(sentinel))
-        skey = jax.lax.sort(key, dimension=1)
-        th = (jnp.arange(C + 1, dtype=jnp.int32) * per_chunk)[None, :, None]
-        bounds = jnp.sum(skey[:, None, :] < th, axis=2, dtype=jnp.int32)
-        start, cnt = bounds[:, :C], bounds[:, 1:] - bounds[:, :C]
+    K_l = min(member.shape[1], 4 * LANES)
+    lm_ids = jnp.where(lhit, member, C * lpc)
+    lprefix, ltotal = compact_ascending_rows(lm_ids, C * lpc, K_l,
+                                             interpret=interpret)
+
+    def chunk_rows(prefix, per_chunk, budget):
+        K = prefix.shape[1]
         j = jnp.arange(budget, dtype=jnp.int32)
-        idx = jnp.minimum(start[:, :, None] + j[None, None, :], M - 1)
+        if C == 1:
+            # Single chunk: the window starts at 0 -- a plain slice. The
+            # general take_along path costs P*C*budget ELEMENT gathers
+            # (~3-8 ms at 512k rays).
+            cnt = jnp.sum(prefix < per_chunk, axis=1,
+                          dtype=jnp.int32)[:, None]
+            head = prefix[:, :budget] if K >= budget else jnp.pad(
+                prefix, ((0, 0), (0, budget - K)), constant_values=per_chunk)
+            vals = jnp.where(j[None, :] < jnp.minimum(cnt, budget),
+                             head, per_chunk)[:, None, :]
+            return vals, cnt
+        th = (jnp.arange(C + 1, dtype=jnp.int32) * per_chunk)[None, :, None]
+        bounds = jnp.sum(prefix[:, None, :] < th, axis=2, dtype=jnp.int32)
+        start, cnt = bounds[:, :C], bounds[:, 1:] - bounds[:, :C]
+        idx = jnp.minimum(start[:, :, None] + j[None, None, :], K - 1)
         vals = jnp.take_along_axis(
-            jnp.broadcast_to(skey[:, None, :], (P, C, M)), idx, axis=2)
+            jnp.broadcast_to(prefix[:, None, :], (P, C, K)), idx, axis=2)
         base = (jnp.arange(C, dtype=jnp.int32) * per_chunk)[None, :, None]
         vals = jnp.where(
             j[None, None, :] < jnp.minimum(cnt, budget)[..., None],
             vals - base, per_chunk)
         return vals, cnt
 
-    lvals, lcnt = chunk_rows(lhit, member, C * lpc, lpc, k)
-    gvals, gcnt = chunk_rows(ghit, gids, C * gpc, gpc, kg)
+    lvals, lcnt = chunk_rows(lprefix, lpc, k)
+    gvals, gcnt = chunk_rows(gprefix, gpc, kg)
 
-    use_g = (lcnt > k) | refine_truncated[:, None]
-    overflow = jnp.any(use_g & (gcnt > kg))
+    # A truncated prefix (more survivors than K_l/K0 lanes kept) makes the
+    # later chunks' windows unreliable -- those rows fall back to group
+    # mode / raise overflow, conservatively.
+    use_g = ((lcnt > k) | refine_truncated[:, None]
+             | (ltotal > K_l)[:, None])
+    overflow = jnp.any(use_g & ((gcnt > kg) | (gtotal > K0)[:, None]))
 
     pad = rowlen - 1 - max(k, kg)
     cnt_col = jnp.where(use_g, -jnp.minimum(gcnt, kg), jnp.minimum(lcnt, k))
@@ -339,6 +372,82 @@ def cone_candidates(feats: Array, tables: ConeTables,
         [cnt_col[..., None], body,
          jnp.full((P, C, pad), lpc, jnp.int32)], axis=2)
     return rows, cones, overflow
+
+
+# ---------------------------------------------------------------------------
+# Pallas row compactor (phase A): masked ascending ids -> dense prefixes
+# ---------------------------------------------------------------------------
+
+def _compact_ids_kernel(ids_ref, out_ref, cnt_ref, *, sentinel: int,
+                        keep: int):
+    """(8, M) masked ascending ids (sentinel = masked out) -> per-row
+    compacted prefix (8, keep) + raw survivor counts (8, 128 broadcast).
+    Same monotone-shift butterfly as compact_lanes, 8 rows at once."""
+    ids = ids_ref[:]
+    M = ids.shape[1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, ids.shape, 1)
+    mask = (ids != sentinel).astype(jnp.int32)
+    csum = mask
+    k = 1
+    while k < M:
+        csum = csum + jnp.where(lane >= k, pltpu.roll(csum, k, axis=1), 0)
+        k *= 2
+    cnt_ref[:] = jnp.broadcast_to(csum[:, M - 1:M], cnt_ref.shape)
+    rem = jnp.where(mask != 0, lane + 1 - csum, 0)
+    k = 1
+    while k < M:
+        in_ids = pltpu.roll(ids, M - k, axis=1)            # left-roll by k
+        in_rem = pltpu.roll(rem, M - k, axis=1)
+        take = (in_rem & k) != 0
+        ids = jnp.where(take, in_ids, ids)
+        rem = jnp.where(take, in_rem, rem) & ~k
+        k *= 2
+    # Stale lanes past each row's count still hold old ids; stamp them
+    # back to the sentinel so downstream logic needs no count masking.
+    # (Full-width write: slicing [:, :keep] in-kernel at M=1024 trips a
+    # Mosaic vector_extract_strided_slice assertion; the caller slices.)
+    out_ref[:] = jnp.where(lane < csum[:, M - 1:M], ids, sentinel)
+
+
+def compact_ascending_rows(masked_ids: Array, sentinel: int, keep: int,
+                           interpret: bool = False):
+    """Batch-compact (P, M) rows of masked ASCENDING ids.
+
+    masked_ids: i32, masked-out lanes == sentinel, survivors strictly
+    ascending per row (group/member candidate ids are). Returns
+    (prefix (P, keep) i32 sentinel-padded, counts (P,) i32 raw).
+
+    This replaces the XLA lane sort the round-3 phase A used for stream
+    compaction: a bitonic sort of (4096, 1024) keys measured 5-8 ms on
+    v5e where this butterfly kernel runs in ~0.5 ms -- sorting was always
+    overkill for ids that are already in order.
+    """
+    P, M = masked_ids.shape
+    assert P % SUBLANES == 0 and M % LANES == 0
+    keep = min(keep, M)
+    # 64 rows per grid step: a Pallas grid step carries ~2-3 us of fixed
+    # overhead on this chip; 8-row steps made the compactor 5x slower.
+    rows_per_step = 64
+    while P % rows_per_step:
+        rows_per_step //= 2
+    out, cnt = pl.pallas_call(
+        functools.partial(_compact_ids_kernel, sentinel=sentinel, keep=keep),
+        grid=(P // rows_per_step,),
+        in_specs=[pl.BlockSpec((rows_per_step, M), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(
+            pl.BlockSpec((rows_per_step, M), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows_per_step, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((P, M), jnp.int32),
+            jax.ShapeDtypeStruct((P, LANES), jnp.int32),
+        ),
+        interpret=interpret,
+    )(masked_ids)
+    return out[:, :keep], cnt[:, 0]
 
 
 # ---------------------------------------------------------------------------
@@ -403,39 +512,44 @@ def _sentinel_block(n: int = LANES):
 
 
 QUADS_PER_ITER = 8      # leaf quads walked per loop iteration
-ACC_BLOCKS = 10         # accumulator capacity: 127 carry + 8*128 appends
+ACC_BLOCKS = 16         # accumulator capacity (128-lane blocks)
+WINDOW = QUADS_PER_ITER + 1   # append window: 127 carry + 8*128 appends
 
 
 def _conecull_kernel(cand_ref, rays_ref, cones_ref, entries_ref,
-                     t_ref, slot_ref, acc_ref, w_ref, ub_ref, ib_ref, *,
+                     t_ref, slot_ref, acc_ref, w_ref, ub_ref, ib_ref,
+                     cnt_ref, *,
                      subpackets: int, subpacket: int, leaf_size: int,
                      leaves_per_chunk: int, leaves_per_group: int):
     """Grid (C, G), chunk-major (same schedule as leafcull). Per subpacket:
-    walk candidate leaf quads QUADS_PER_ITER at a time; per quad: assemble
-    -> cone-refine prims -> butterfly-compact survivors; tree-merge the
-    iteration's compacted runs and append once into the (8, 1280)
-    accumulator; quadratic-test full 128-lane blocks as they fill.
+    walk candidate leaf quads QUADS_PER_ITER at a time; per iteration:
+    assemble + cone-refine all 8 quads, butterfly-compact them as ONE
+    batched (64, 128) payload stream, tree-merge the 8 compacted runs,
+    and append once into the block-major (8, 16, 128) accumulator at a
+    dynamic block offset. Full blocks are quadratic-tested by a drain
+    loop after the walk (plus a rare mid-walk overflow drain).
 
-    Structure is dictated by two measured Mosaic facts: (a) a fori_loop
-    iteration costs ~300-450 ns regardless of body size up to ~150 vector
-    ops (tools/../micro benches, v5e) -- so the loop walks 8 quads per
-    iteration, as 8 INDEPENDENT dependency chains the VLIW scheduler can
-    interleave; (b) lax.cond over vector carries fails to legalize
-    (predicated into scalar-pred vector selects), so all walk state lives
-    in scratch refs mutated under ``@pl.when``.
+    Structure is dictated by measured Mosaic facts (micro benches, v5e):
+    (a) a fori_loop iteration costs ~300-450 ns regardless of body size
+    up to ~150 vector ops -- so the loop walks 8 quads per iteration;
+    (b) per-quad butterfly chains do NOT interleave (measured 165 cyc
+    each) -- batching them into one (64,128) stream runs the network once
+    at 8x width; (c) a @pl.when branch costs ~190 ns -- so full blocks
+    drain through a fori over the block-major accumulator instead of a
+    per-block branch cascade; (d) lax.cond over vector carries fails to
+    legalize, so all walk state lives in scratch refs.
     """
     SP = subpacket
     ls = leaf_size
     LPG = leaves_per_group
+    QPI = QUADS_PER_ITER
     rowlen = cand_ref.shape[-1]
-    ACCW = ACC_BLOCKS * LANES
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+    lane8 = jax.lax.broadcasted_iota(jnp.int32, (SUBLANES, LANES), 1)
     quarter = lane // ls
     lane_mod = lane % ls
     c = pl.program_id(0)
     chunk_slot0 = c * leaves_per_chunk * ls
-
-    sent = _sentinel_block()
 
     t_cols = []
     slot_cols = []
@@ -446,7 +560,7 @@ def _conecull_kernel(cand_ref, rays_ref, cones_ref, entries_ref,
         epsa = f[:, 12:13]
         dx, dy, dz = f[:, 0:1], f[:, 1:2], f[:, 2:3]
         nox2, noy2, noz2 = f[:, 3:4], f[:, 4:5], f[:, 5:6]
-        nc = cand_ref[0, 0, s, 0]
+        nc = cand_ref[0, s, 0, 0]
 
         o0x = cones_ref[0, 0, s, 0]
         o0y = cones_ref[0, 0, s, 1]
@@ -458,7 +572,8 @@ def _conecull_kernel(cand_ref, rays_ref, cones_ref, entries_ref,
         rho2 = cones_ref[0, 0, s, 9]
         sinrho = cones_ref[0, 0, s, 10]
 
-        acc_ref[:] = _sentinel_block(ACCW)
+        for b in range(ACC_BLOCKS):
+            acc_ref[:, b, :] = _sentinel_block()
         w_ref[0] = 0
         ub_ref[:] = jnp.full((SP, LANES), -_BIG, jnp.float32)
         ib_ref[:] = jnp.full((SP, LANES), _NOSLOT, jnp.int32)
@@ -476,10 +591,11 @@ def _conecull_kernel(cand_ref, rays_ref, cones_ref, entries_ref,
             ok = (uv + sinrho >= cth * sq) | (q <= 0.0)
             return ok & (ccr < 1.0e29)
 
-        def test_first_block():
-            """Quadratic-test the accumulator's first 128 lanes into
-            ub/ib. Sentinel ccr=1e30 lanes can never pass."""
-            A = acc_ref[:, :LANES]
+        def test_block(A):
+            """Quadratic-test one (8,128) accumulator block into ub/ib.
+            Sentinel ccr=1e30 lanes can never pass. Reference acceptance
+            semantics (disc > 0, near root, t > EPSILON; src/hit.c:19-39)
+            in the u = -t*a domain, as in leafcull."""
             cx, cy, cz, ccr = A[0:1], A[1:2], A[2:3], A[3:4]
             pslot = A[4:5].astype(jnp.int32)
             ub = ub_ref[:]
@@ -493,10 +609,8 @@ def _conecull_kernel(cand_ref, rays_ref, cones_ref, entries_ref,
             ub_ref[:] = jnp.where(ok, u, ub)
             ib_ref[:] = jnp.where(ok, pslot, ib_ref[:])
 
-        def quad_compact(lids):
-            """4 leaf ids -> (compacted payload (8,128), count). Assembles
-            the pair-packed entries by lane quarter, cone-refines the 128
-            prims, butterfly-compacts the survivors."""
+        def assemble(lids):
+            """4 leaf ids -> (payload (8,128), mask (1,128))."""
             loads = []
             for l in lids:
                 e = entries_ref[0, l // 2]                 # (8, 128)
@@ -509,14 +623,48 @@ def _conecull_kernel(cand_ref, rays_ref, cones_ref, entries_ref,
                 jnp.where(quarter % 4 == 0, lids[0], lids[1]),
                 jnp.where(quarter % 4 == 2, lids[2], lids[3]))
             pslot = (chunk_slot0 + lid * ls + lane_mod).astype(jnp.float32)
-            mask = refine(A)
             payload = jnp.concatenate(
                 [A, pslot, jnp.zeros((3, LANES), jnp.float32)], axis=0)
-            return compact_lanes(payload, mask)
+            # i32 mask: Mosaic cannot concatenate i1 vectors (the batched
+            # compactor stacks the 8 quad masks into one (8,128) plane).
+            return payload, refine(A).astype(jnp.int32)
+
+        def batched_compact(payloads, masks):
+            """Butterfly-compact 8 quads at once.
+
+            payloads: list of 8 (8,128); masks: list of 8 (1,128) bool.
+            One (64,128) payload stream + one (8,128) mask plane run the
+            7-pass network ONCE at 8x width (separate per-quad chains
+            measured 165 cyc each -- they do not interleave). Returns
+            (payload64, per-quad counts as 8 python-side scalars read
+            back through the cnt scratch).
+            """
+            m8 = jnp.concatenate(masks, axis=0)            # (8, 128) i32
+            p64 = jnp.concatenate(payloads, axis=0)        # (64, 128)
+            csum = m8
+            k = 1
+            while k < LANES:
+                csum = csum + jnp.where(lane8 >= k,
+                                        pltpu.roll(csum, k, axis=1), 0)
+                k *= 2
+            cnt_ref[:] = csum
+            rem = jnp.where(m8 != 0, lane8 + 1 - csum, 0)
+            k = 1
+            while k < LANES:
+                in_pay = pltpu.roll(p64, LANES - k, axis=1)
+                in_rem = pltpu.roll(rem, LANES - k, axis=1)
+                take8 = (in_rem & k) != 0
+                take64 = jnp.broadcast_to(
+                    take8[:, None, :], (QPI, SUBLANES, LANES)
+                ).reshape(QPI * SUBLANES, LANES)
+                p64 = jnp.where(take64, in_pay, p64)
+                rem = jnp.where(take8, in_rem, rem) & ~k
+                k *= 2
+            cnts = [cnt_ref[q, LANES - 1] for q in range(QPI)]
+            return p64, cnts
 
         def merge(a, b):
-            """Concatenate two equal-width compacted runs (pay, cnt) into
-            one of twice the width (b slides in at a's count)."""
+            """Concatenate two equal-width compacted runs (pay, cnt)."""
             (a_pay, a_cnt), (b_pay, b_cnt) = a, b
             w = a_pay.shape[1]
             s2 = _sentinel_block(w)
@@ -527,72 +675,86 @@ def _conecull_kernel(cand_ref, rays_ref, cones_ref, entries_ref,
             sel = (l2 >= a_cnt) & (l2 < a_cnt + b_cnt)
             return jnp.where(sel, rolledb, a2), a_cnt + b_cnt
 
-        def push_runs(runs):
-            """Tree-merge this iteration's compacted runs, append once into
-            the accumulator, then drain full 128-lane blocks."""
+        def drain(nb):
+            """Quadratic-test accumulator blocks [0, nb)."""
+            def body(b, carry):
+                test_block(acc_ref[:, b, :])
+                return carry
+            jax.lax.fori_loop(0, nb, body, 0)
+
+        def push_iteration(quads):
+            """Compact + merge this iteration's 8 quads, append once into
+            the window at the current write offset; drain on (rare)
+            overflow."""
+            p64, cnts = batched_compact([p for p, _ in quads],
+                                        [m for _, m in quads])
+            runs = [(p64[8 * q:8 * q + 8], cnts[q]) for q in range(QPI)]
             while len(runs) > 1:
                 runs = [merge(runs[i], runs[i + 1])
                         for i in range(0, len(runs), 2)]
             run, cnt = runs[0]
             W = w_ref[0]
-            wide = jnp.concatenate(
-                [run, _sentinel_block(ACCW - run.shape[1])], axis=1)
-            rolled = pltpu.roll(wide, W, axis=1)           # W<128, no wrap
-            la = jax.lax.broadcasted_iota(jnp.int32, (1, ACCW), 1)
-            sel = (la >= W) & (la < W + cnt)
-            acc_ref[:] = jnp.where(sel, rolled, acc_ref[:])
+            kb = W // LANES
+            wr = W - kb * LANES
+            wide = jnp.concatenate([run, _sentinel_block()], axis=1)
+            rolled = pltpu.roll(wide, wr, axis=1)          # wr<128, no wrap
+            lw = jax.lax.broadcasted_iota(jnp.int32, (1, WINDOW * LANES), 1)
+            sel = (lw >= wr) & (lw < wr + cnt)
+            win = acc_ref[:, pl.ds(kb, WINDOW), :].reshape(
+                SUBLANES, WINDOW * LANES)
+            win = jnp.where(sel, rolled, win)
+            acc_ref[:, pl.ds(kb, WINDOW), :] = win.reshape(
+                SUBLANES, WINDOW, LANES)
             w_ref[0] = W + cnt
-            for _ in range(QUADS_PER_ITER):
-                @pl.when(w_ref[0] >= LANES)
-                def _():
-                    test_first_block()
-                    acc_ref[:] = jnp.concatenate(
-                        [acc_ref[:, LANES:], sent], axis=1)
-                    w_ref[0] = w_ref[0] - LANES
+
+            nkeep = ACC_BLOCKS - WINDOW                    # drain threshold
+            @pl.when(w_ref[0] >= nkeep * LANES)
+            def _():
+                drain(nkeep)
+                for b in range(WINDOW):
+                    acc_ref[:, b, :] = acc_ref[:, nkeep + b, :]
+                for b in range(WINDOW, ACC_BLOCKS):
+                    acc_ref[:, b, :] = _sentinel_block()
+                w_ref[0] = w_ref[0] - nkeep * LANES
 
         @pl.when(nc >= 0)
         def _(s=s):
             def body(it, carry, s=s):
-                runs = []
-                for q in range(QUADS_PER_ITER):
-                    jq = it * QUADS_PER_ITER + q
+                quads = []
+                for q in range(QPI):
+                    jq = it * QPI + q
                     lids = [
                         jnp.minimum(
-                            cand_ref[0, 0, s,
+                            cand_ref[0, s, 0,
                                      jnp.minimum(1 + 4 * jq + t, rowlen - 1)],
                             leaves_per_chunk)
                         for t in range(4)]
-                    runs.append(quad_compact(lids))
-                push_runs(runs)
+                    quads.append(assemble(lids))
+                push_iteration(quads)
                 return carry
             nq = (nc + 3) // 4
-            jax.lax.fori_loop(0, (nq + QUADS_PER_ITER - 1) // QUADS_PER_ITER,
-                              body, 0)
+            jax.lax.fori_loop(0, (nq + QPI - 1) // QPI, body, 0)
 
         @pl.when(nc < 0)
         def _(s=s):
             qpg = LPG // 4                                 # quads per group
             def body(it, carry, s=s):
-                runs = []
-                for q in range(QUADS_PER_ITER):
-                    jq = it * QUADS_PER_ITER + q
-                    g = cand_ref[0, 0, s,
+                quads = []
+                for q in range(QPI):
+                    jq = it * QPI + q
+                    g = cand_ref[0, s, 0,
                                  jnp.minimum(1 + jq // qpg, rowlen - 1)]
                     base = g * LPG + (jq % qpg) * 4
                     lids = [jnp.minimum(base + t, leaves_per_chunk)
                             for t in range(4)]
-                    runs.append(quad_compact(lids))
-                push_runs(runs)
+                    quads.append(assemble(lids))
+                push_iteration(quads)
                 return carry
             nq = -nc * qpg
-            jax.lax.fori_loop(0, (nq + QUADS_PER_ITER - 1) // QUADS_PER_ITER,
-                              body, 0)
+            jax.lax.fori_loop(0, (nq + QPI - 1) // QPI, body, 0)
 
-        # Final partial block: lanes >= W are sentinel (appends never
-        # touched them), so no masking is needed.
-        @pl.when(w_ref[0] > 0)
-        def _():
-            test_first_block()
+        # Drain every (possibly partial) block; lanes past W are sentinel.
+        drain((w_ref[0] + LANES - 1) // LANES)
 
         ub, ib = ub_ref[:], ib_ref[:]
         umax = jnp.max(ub, axis=1, keepdims=True)
@@ -623,7 +785,7 @@ def _conecull_call(feats: Array, cand: Array, cones: Array, entries: Array,
         kernel,
         grid=(C, g),
         in_specs=[
-            pl.BlockSpec((1, 1, S, rowlen), lambda c, i: (i, c, 0, 0),
+            pl.BlockSpec((1, S, 1, rowlen), lambda c, i: (i, 0, c, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, S, SP, FEAT), lambda c, i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -643,10 +805,11 @@ def _conecull_call(feats: Array, cand: Array, cones: Array, entries: Array,
             jax.ShapeDtypeStruct((C, g, SP, S), jnp.int32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((SUBLANES, ACC_BLOCKS * LANES), jnp.float32),  # acc
+            pltpu.VMEM((SUBLANES, ACC_BLOCKS, LANES), jnp.float32),   # acc
             pltpu.SMEM((1,), jnp.int32),                      # write offset
             pltpu.VMEM((SP, LANES), jnp.float32),             # best u
             pltpu.VMEM((SP, LANES), jnp.int32),               # best slot
+            pltpu.VMEM((SUBLANES, LANES), jnp.int32),         # quad counts
         ],
         interpret=interpret,
     )(cand, feats, cones, entries)
@@ -670,9 +833,9 @@ def _run(rays: Ray, tables: ConeTables, max_groups: int,
 
     feats, g, pad = pack_ray_features(o, d, subpackets, subpacket)
     rows, cones, overflow = cone_candidates(feats, tables, max_groups,
-                                            max_candidates)
-    rows = rows.reshape(g, subpackets, cull.num_chunks,
-                        rows.shape[-1]).transpose(0, 2, 1, 3)
+                                            max_candidates,
+                                            interpret=interpret)
+    rows = rows.reshape(g, subpackets, cull.num_chunks, rows.shape[-1])
     cones = cones.reshape(g, 1, subpackets, CONE_FEAT)
 
     t_k, slot = _conecull_call(feats, rows, cones, cull.entries, subpackets,
@@ -730,6 +893,94 @@ def nearest_hit_conecull(rays: Ray, scene: Scene, tables: ConeTables,
     rec = jax.tree_util.tree_map(
         lambda x: x.reshape(*batch_shape, *x.shape[1:]), rec)
     return rec, overflow
+
+
+def kernel_order_dest(dest: Array, subpackets: int, subpacket: int) -> Array:
+    """Remap a prep ``dest`` (padded-stream slots) to the cull kernels' raw
+    output order, so results can be consumed without the (g, SP, S) ->
+    flat transpose (measured ~2-4 ms at 512k rays in the epilogue).
+
+    Padded slot b = (g*S + s)*SP + r sits at kernel flat index
+    g*SP*S + r*S + s. Pure elementwise; compute it once per prep.
+    """
+    S, SP = subpackets, subpacket
+    g = dest // (S * SP)
+    rem = dest - g * (S * SP)
+    s = rem // SP
+    r = rem - s * SP
+    return g * (SP * S) + r * S + s
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "max_groups", "max_candidates", "subpackets", "subpacket", "interpret"))
+def nearest_hit_hybrid_raw(rays: Ray, tables: ConeTables,
+                           max_groups: int = 64, max_candidates: int = 119,
+                           subpackets: int = 8, subpacket: int = 128,
+                           interpret: bool = False):
+    """Raw-order lite closest hit: (t, slot_id, overflow) in the kernel's
+    native flat order (index results with ``kernel_order_dest``).
+
+    t is +inf on miss. slot_id is the hit prim's SLOT index -- the
+    framework's canonical BVH-order id space (map to input order with
+    tables.cull.slot_to_sphere outside the hot path). Skipping the layout
+    transpose and the slot->sphere gather saves ~8 ms at 512k rays.
+    """
+    from tracer.kernels.leafcull import _leafcull_call
+
+    cull = tables.cull
+    o = rays.origin.reshape(-1, 3)
+    d = rays.direction.reshape(-1, 3)
+
+    feats, g, pad = pack_ray_features(o, d, subpackets, subpacket)
+    rows, _, overflow = cone_candidates(feats, tables, max_groups,
+                                        max_candidates,
+                                        interpret=interpret)
+    rows = rows.reshape(g, subpackets, cull.num_chunks, rows.shape[-1])
+    t_k, slot = _leafcull_call(feats, rows, cull.entries, subpackets,
+                               subpacket, cull.leaf_size,
+                               cull.leaves_per_chunk, cull.leaves_per_group,
+                               interpret=interpret)
+    slot = slot.reshape(-1)
+    t_k = t_k.reshape(-1)
+    hit = slot < _NOSLOT
+    t = jnp.where(hit, t_k, jnp.inf)
+    return t, jnp.where(hit, slot, -1), overflow
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "max_groups", "max_candidates", "subpackets", "subpacket", "interpret"))
+def nearest_hit_hybrid_t(rays: Ray, tables: ConeTables,
+                         max_groups: int = 64, max_candidates: int = 119,
+                         subpackets: int = 8, subpacket: int = 128,
+                         interpret: bool = False):
+    """Lite closest hit: round-4 transpose-free phase A (cone_candidates,
+    minus the cone scalars) feeding the proven 16-wide leafcull kernel.
+    Same row format, same (t, sphere_id, overflow) contract as
+    leafcull.nearest_hit_leafcull_t."""
+    from tracer.kernels.leafcull import _leafcull_call
+
+    cull = tables.cull
+    batch_shape = rays.batch_shape
+    o = rays.origin.reshape(-1, 3)
+    d = rays.direction.reshape(-1, 3)
+    b = o.shape[0]
+
+    feats, g, pad = pack_ray_features(o, d, subpackets, subpacket)
+    rows, _, overflow = cone_candidates(feats, tables, max_groups,
+                                        max_candidates,
+                                        interpret=interpret)
+    rows = rows.reshape(g, subpackets, cull.num_chunks, rows.shape[-1])
+    t_k, slot = _leafcull_call(feats, rows, cull.entries, subpackets,
+                               subpacket, cull.leaf_size,
+                               cull.leaves_per_chunk, cull.leaves_per_group,
+                               interpret=interpret)
+    slot = slot.transpose(0, 2, 1).reshape(-1)[:b]
+    t_k = t_k.transpose(0, 2, 1).reshape(-1)[:b]
+    hit = slot < _NOSLOT
+    sphere_id = jnp.where(
+        hit, cull.slot_to_sphere[jnp.where(hit, slot, 0)], -1)
+    t = jnp.where(hit, t_k, jnp.inf)
+    return (t.reshape(batch_shape), sphere_id.reshape(batch_shape), overflow)
 
 
 def nearest_hit_conecull_checked(rays: Ray, scene: Scene, tables: ConeTables,

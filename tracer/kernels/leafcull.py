@@ -149,7 +149,7 @@ def build_cull_tables(scene: Scene, bvh: FlatBVH,
 
     # Pad leaf count so chunks are equal, group-aligned, and pair-aligned.
     lpg = leaves_per_group
-    assert lpg % 8 == 0, "leaves_per_group must be a multiple of 8"
+    assert lpg % 16 == 0, "leaves_per_group must be a multiple of 16"
     align = max(lpg, 2)
     leaves_per_chunk_cap = max((max_chunk_bytes // (SUBLANES * LANES * 4)) * 2
                                - 2, align)
@@ -265,7 +265,7 @@ def _compact_rows(mask: Array, ids: Array, k: int, sentinel: int,
     sentinel-padded, raw per-row counts (P,) i32 -- possibly > k, the
     embedded count is clamped). Sort-based: one XLA lane-axis sort, no
     scatters (scatter-min compaction measured ~10x slower on v5e).
-    Requires k + 9 <= rowlen so an 8-wide kernel step can overread safely.
+    Requires k + 17 <= rowlen so a 16-wide kernel step can overread safely.
     """
     counts = mask.sum(-1, dtype=jnp.int32)
     key = jnp.where(mask, ids, jnp.int32(sentinel))
@@ -298,7 +298,7 @@ def leaf_candidates(o: Array, d: Array, tables: CullTables,
     C = tables.num_chunks
     k0 = min(max_groups, tables.num_groups)
     k = min(max_candidates, lpc)
-    rowlen = -(-(k + 9) // LANES) * LANES
+    rowlen = -(-(k + 17) // LANES) * LANES
 
     o_lo, o_hi, d_lo, d_hi = subpacket_bounds(o, d, subpacket)
     P = o_lo.shape[1]
@@ -460,7 +460,7 @@ def _leafcull_kernel(cand_ref, rays_ref, entries_ref, t_ref, slot_ref, *,
         od, oo = f[:, 8:9], f[:, 9:10]
         av, inva = f[:, 10:11], f[:, 11:12]
         epsa = f[:, 12:13]
-        nc = cand_ref[0, 0, s, 0]
+        nc = cand_ref[0, s, 0, 0]
 
         def test_quad(parts, lids, carry):
             """One assembled (SP, 128) block: 4 leaves by lane quarter.
@@ -505,27 +505,32 @@ def _leafcull_kernel(cand_ref, rays_ref, entries_ref, t_ref, slot_ref, *,
                 jnp.full((SP, LANES), _NOSLOT, jnp.int32))
 
         def leaf_walk(nc=nc, s=s):
-            # Enumerated candidate leaves, 8 per iteration (2 quads) so
-            # Mosaic overlaps the 8 scalar-addressed loads with the math.
+            # Enumerated candidate leaves, 16 per iteration (4 quads): a
+            # fori_loop iteration carries ~300-450 ns of fixed overhead on
+            # v5e regardless of body size (round-4 micro benches), so wider
+            # bodies amortize it; 4 independent quad chains also give the
+            # VLIW scheduler slack to overlap the scalar-addressed loads.
             def body(j, carry, s=s):
-                loads = [load_leaf(cand_ref[0, 0, s, 1 + 8 * j + q])
-                         for q in range(8)]
-                carry = test_quad([p for p, _ in loads[:4]],
-                                  [l for _, l in loads[:4]], carry)
-                return test_quad([p for p, _ in loads[4:]],
-                                 [l for _, l in loads[4:]], carry)
-            return jax.lax.fori_loop(0, (nc + 7) // 8, body, init)
+                loads = [load_leaf(cand_ref[0, s, 0, 1 + 16 * j + q])
+                         for q in range(16)]
+                for h in range(4):
+                    carry = test_quad([p for p, _ in loads[4*h:4*h+4]],
+                                      [l for _, l in loads[4*h:4*h+4]],
+                                      carry)
+                return carry
+            return jax.lax.fori_loop(0, (nc + 15) // 16, body, init)
 
         def group_walk(nc=nc, s=s):
             # Overflow fallback: the row holds candidate GROUP ids (count
             # = -ng); walk every member leaf. Members are consecutive, so
-            # one iteration = 8 leaves = 4 consecutive entries.
-            qpg = LPG // 8                                # iterations/group
+            # one iteration = 16 leaves = 8 consecutive entries (same
+            # 16-wide amortization as the leaf walk).
+            qpg = LPG // 16                               # iterations/group
             def body(j, carry, s=s):
-                g = cand_ref[0, 0, s, 1 + j // qpg]
-                base = g * LPG + (j % qpg) * 8
+                g = cand_ref[0, s, 0, 1 + j // qpg]
+                base = g * LPG + (j % qpg) * 16
                 e0 = base // 2
-                for h in range(2):
+                for h in range(4):
                     parts = [entries_ref[0, e0 + 2 * h][0:4],
                              entries_ref[0, e0 + 2 * h][4:8],
                              entries_ref[0, e0 + 2 * h + 1][0:4],
@@ -565,7 +570,10 @@ def _leafcull_call(feats: Array, cand: Array, entries: Array,
         kernel,
         grid=(C, g),
         in_specs=[
-            pl.BlockSpec((1, 1, S, rowlen), lambda c, i: (i, c, 0, 0),
+            # rows arrive (g, S, C, rowlen) straight from phase A -- the
+            # block picks [i, :, c, :], so no host-side transpose is paid
+            # (measured 2.2 ms at 512k rays).
+            pl.BlockSpec((1, S, 1, rowlen), lambda c, i: (i, 0, c, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, S, SP, FEAT), lambda c, i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -622,8 +630,7 @@ def nearest_hit_leafcull_t(rays: Ray, tables: CullTables,
     dp = jnp.pad(d, ((0, pad), (0, 0)), mode="edge")
     rows, overflow = leaf_candidates(op, dp, tables, max_groups,
                                      max_candidates, subpacket)
-    rows = rows.reshape(g, subpackets, tables.num_chunks,
-                        rows.shape[-1]).transpose(0, 2, 1, 3)
+    rows = rows.reshape(g, subpackets, tables.num_chunks, rows.shape[-1])
 
     t_k, slot = _leafcull_call(feats, rows, tables.entries, subpackets,
                                subpacket, tables.leaf_size,
@@ -661,8 +668,7 @@ def nearest_hit_leafcull(rays: Ray, scene: Scene, tables: CullTables,
     dp = jnp.pad(d, ((0, pad), (0, 0)), mode="edge")
     rows, overflow = leaf_candidates(op, dp, tables, max_groups,
                                      max_candidates, subpacket)
-    rows = rows.reshape(g, subpackets, tables.num_chunks,
-                        rows.shape[-1]).transpose(0, 2, 1, 3)
+    rows = rows.reshape(g, subpackets, tables.num_chunks, rows.shape[-1])
 
     t_k, slot = _leafcull_call(feats, rows, tables.entries, subpackets,
                                subpacket, tables.leaf_size,
