@@ -6,17 +6,18 @@ the SAH BVH at n=100k spheres, on the reference's own benchmark distribution
 cube directions; src/benchmark.c:172-223,283-332). The reference CPU achieves
 7.85 Mrays/s at this size (results/benchmark_data.txt:3).
 
-Path selection (round-3): the leaf-cull kernel (tracer/kernels/leafcull.py)
-via its lite (t, id) wrapper, on octahedral-sorted, cell-bucketed rays —
-the fastest verified path per tools/headtohead.py. Falls back to the packet
-traversal kernel, then pure-JAX traversal, if the fast path fails.
+The headline is END TO END and fused in one jit (VERDICT r3 task 3): ray
+prep (octahedral sort + cell bucketing + result-order map) + hierarchical
+cull (tracer/kernels/conecull.cone_candidates) + the 16-wide leafcull
+Pallas kernel, raw-order results. Nothing the query needs is excluded;
+per-stage times are reported in extras. Falls back to the round-3 leafcull
+path, then pure-JAX traversal, if the fast path fails.
 
 Prints exactly ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
 
 Timing amortizes the host<->device dispatch latency (large batches, several
-chained calls, block once at the end) and excludes compilation and the
-scene-independent ray sort (reported separately in extras).
+chained calls, block once at the end) and excludes compilation only.
 """
 
 import json
@@ -29,8 +30,10 @@ BASELINE_MRAYS = 7.85  # reference BVH @ 100k spheres, results/benchmark_data.tx
 N_SPHERES = 100_000
 WORLD = 1000.0
 B = 512 * 1024
-SP = 128            # leafcull subpacket (rays per frustum)
+S = 8               # subpackets per kernel step
+SP = 128            # rays per subpacket (one cull frustum)
 CELL_BITS = 8       # bucket_pad_sorted direction cells
+MG, MC = 64, 119    # phase A group / leaf-candidate budgets
 
 
 def log(*a):
@@ -100,62 +103,102 @@ def main():
     direction = jnp.asarray(d)
 
     value = None
+    tables = None
     try:
         from tracer.core.sort import prep_rays_bucketed
-        from tracer.kernels.leafcull import (build_cull_tables,
-                                             nearest_hit_leafcull_t,
-                                             leaf_candidates,
-                                             pack_ray_features,
-                                             _leafcull_call)
+        from tracer.kernels.conecull import (build_cone_tables,
+                                             cone_candidates,
+                                             nearest_hit_hybrid_raw,
+                                             kernel_order_dest)
+        from tracer.kernels.leafcull import pack_ray_features, _leafcull_call
 
-        tables = build_cull_tables(scene, bvh)
-        log(f"cull tables: {tables.num_chunks} chunk(s), "
-            f"{tables.num_real_leaves} leaves, "
-            f"{tables.entries.nbytes / 1e6:.1f} MB")
+        tables = build_cone_tables(scene, bvh)
+        cull = tables.cull
+        log(f"cull tables: {cull.num_chunks} chunk(s), "
+            f"{cull.num_real_leaves} leaves, "
+            f"{cull.entries.nbytes / 1e6:.1f} MB")
 
-        prep = jax.jit(lambda o, d: prep_rays_bucketed(
-            Ray(origin=o, direction=d), SP, cell_bits=CELL_BITS))
-        dt_prep, (rays, dest) = _timeit(jax, prep, origin, direction)
-        extras["sort_ms"] = round(dt_prep * 1000.0, 1)
-        op, dp = rays.origin, rays.direction
+        def prep(o, d):
+            rays, dest = prep_rays_bucketed(Ray(origin=o, direction=d), SP,
+                                            cell_bits=CELL_BITS)
+            return rays, kernel_order_dest(dest, S, SP)
 
-        fn = jax.jit(lambda rr: nearest_hit_leafcull_t(
-            rr, tables, max_groups=48, max_candidates=119,
-            subpackets=8, subpacket=SP)[0])
-        dt, t = _timeit(jax, fn, rays)
-        hits = int(np.isfinite(np.asarray(t)[np.asarray(dest)]).sum())
-        _, _, ovf = nearest_hit_leafcull_t(rays, tables, max_groups=48,
-                                           max_candidates=119, subpackets=8,
-                                           subpacket=SP)
+        def oneshot(o, d):
+            rays, dest2 = prep(o, d)
+            t, slot, ovf = nearest_hit_hybrid_raw(
+                rays, tables, max_groups=MG, max_candidates=MC,
+                subpackets=S, subpacket=SP)
+            return t, slot, dest2, ovf
+
+        fos = jax.jit(oneshot)
+        dt, (t, slot, dest2, ovf) = _timeit(jax, fos, origin, direction)
+        hits = int(np.isfinite(np.asarray(t)[np.asarray(dest2)]).sum())
         value = B / dt / 1e6
-        extras["path"] = "leafcull_lite"
+        extras["path"] = "hybrid_raw_fused"
         extras["overflow"] = bool(ovf)
         extras["hit_fraction"] = round(hits / B, 4)
 
-        # Per-phase split (VERDICT r2 ask): phase A vs kernel.
-        S = 8
-        feats, g, pad = pack_ray_features(op, dp, S, SP)
-        o2 = jnp.pad(op, ((0, pad), (0, 0)), mode="edge")
-        d2 = jnp.pad(dp, ((0, pad), (0, 0)), mode="edge")
-        fA = jax.jit(lambda o, d: leaf_candidates(o, d, tables, 48, 119,
-                                                  SP)[0])
-        dtA, rows = _timeit(jax, fA, o2, d2)
-        rowsk = rows.reshape(g, S, tables.num_chunks, rows.shape[-1])
+        # Per-stage split (reported, NOT subtracted from the headline).
+        prepj = jax.jit(prep)
+        dtp, (rays, _) = _timeit(jax, prepj, origin, direction)
+        extras["prep_ms"] = round(dtp * 1e3, 2)
+        feats, g, pad = pack_ray_features(rays.origin, rays.direction, S, SP)
+        fA = jax.jit(lambda f: cone_candidates(f, tables, MG, MC)[0])
+        dtA, rows = _timeit(jax, fA, feats)
+        extras["phase_a_ms"] = round(dtA * 1e3, 2)
+        rowsk = rows.reshape(g, S, cull.num_chunks, rows.shape[-1])
         rowsk, feats = jax.block_until_ready((rowsk, feats))
         fB = lambda f, rr: _leafcull_call(
-            f, rr, tables.entries, S, SP, tables.leaf_size,
-            tables.leaves_per_chunk, tables.leaves_per_group)
+            f, rr, cull.entries, S, SP, cull.leaf_size,
+            cull.leaves_per_chunk, cull.leaves_per_group)
         dtB, _ = _timeit(jax, fB, feats, rowsk)
-        extras["phase_a_ms"] = round(dtA * 1e3, 2)
         extras["kernel_ms"] = round(dtB * 1e3, 2)
-        log(f"leafcull: {dt * 1e3:.1f} ms/call -> {value:.1f} Mrays/s "
-            f"(phase A {dtA * 1e3:.1f} ms, kernel {dtB * 1e3:.1f} ms, "
-            f"hit fraction {hits / B:.3f}, overflow={bool(ovf)})")
+        log(f"hybrid fused: {dt * 1e3:.1f} ms/call -> {value:.1f} Mrays/s "
+            f"(prep {dtp * 1e3:.1f} ms, phase A {dtA * 1e3:.1f} ms, "
+            f"kernel {dtB * 1e3:.1f} ms, hit fraction {hits / B:.3f}, "
+            f"overflow={bool(ovf)})")
     except Exception as e:
         import traceback
         traceback.print_exc(file=sys.stderr)
-        log(f"leafcull path failed ({type(e).__name__}: {e}); "
-            "falling back to packet kernel")
+        log(f"hybrid path failed ({type(e).__name__}: {e}); "
+            "falling back to round-3 leafcull path")
+
+    if value is None:
+        try:
+            from tracer.core.sort import prep_rays_bucketed
+            from tracer.kernels.leafcull import (build_cull_tables,
+                                                 nearest_hit_leafcull_t)
+            tables3 = build_cull_tables(scene, bvh)
+
+            def oneshot3(o, d):
+                rays, dest = prep_rays_bucketed(
+                    Ray(origin=o, direction=d), SP, cell_bits=CELL_BITS)
+                t, sid, ovf = nearest_hit_leafcull_t(
+                    rays, tables3, max_groups=48, max_candidates=119,
+                    subpackets=S, subpacket=SP)
+                return t, dest
+
+            fn = jax.jit(oneshot3)
+            dt, _ = _timeit(jax, fn, origin, direction)
+            value = B / dt / 1e6
+            extras["path"] = "leafcull_lite_fused"
+            log(f"leafcull: {dt * 1e3:.1f} ms/call -> {value:.1f} Mrays/s")
+        except Exception as e:
+            log(f"leafcull path failed ({type(e).__name__}: {e}); "
+                "falling back to pure-JAX traversal")
+            from tracer.intersect.traverse import nearest_hit_bvh
+            from tracer.core.sort import sort_rays_by_direction
+            Bs = B // 8
+            small = Ray(origin=origin[:Bs], direction=direction[:Bs])
+
+            def oneshot_jnp(rr):
+                rs, inv = sort_rays_by_direction(rr)
+                return nearest_hit_bvh(rs, scene, bvh).t[inv]
+
+            fn = jax.jit(oneshot_jnp)
+            dt, _ = _timeit(jax, fn, small, n1=1, n2=3, repeats=1)
+            value = Bs / dt / 1e6
+            extras["path"] = "jnp_while_loop"
 
     # BASELINE metric of record: fwd+bwd Mrays/s at 100k spheres through
     # the BVH-sparsified differentiable path (tracer/diff/sparse.py) on a
@@ -165,6 +208,9 @@ def main():
         from tracer.core.sort import prep_rays_bucketed as _prep
         from tracer.diff.sparse import soft_render_sparse_packets
         from tracer.diff.soft import SoftParams
+        from tracer.kernels.leafcull import build_cull_tables as _bct
+
+        dtables = _bct(scene, bvh) if tables is None else tables.cull
 
         Bd = 16384
         rd = Ray(origin=origin[:Bd], direction=direction[:Bd])
@@ -175,7 +221,7 @@ def main():
         def loss(centers):
             img, _ = soft_render_sparse_packets(
                 scene.replace(centers=centers), padded.origin,
-                padded.direction, tables, sp, max_leaves=16, subpacket=64)
+                padded.direction, dtables, sp, max_leaves=16, subpacket=64)
             return jnp.mean(img)
 
         gfn = jax.jit(jax.grad(loss))
@@ -186,33 +232,8 @@ def main():
     except Exception as e:
         log(f"sparse diff metric failed ({type(e).__name__}: {e})")
 
-    if value is None:
-        try:
-            from tracer.core.sort import sort_rays_by_direction
-            from tracer.kernels import pack_bvh, nearest_hit_bvh_pallas
-            rays = Ray(origin=origin, direction=direction)
-            rays_sorted, _ = sort_rays_by_direction(rays)
-            rays_sorted = jax.block_until_ready(rays_sorted)
-            packed = jax.jit(pack_bvh)(scene, bvh)
-            fn = jax.jit(lambda rr: nearest_hit_bvh_pallas(rr, scene,
-                                                           packed).t)
-            dt, _ = _timeit(jax, fn, rays_sorted)
-            value = B / dt / 1e6
-            extras["path"] = "pallas_packet_kernel"
-            log(f"packet: {dt * 1e3:.1f} ms/call -> {value:.1f} Mrays/s")
-        except Exception as e:  # pragma: no cover - fallback path
-            log(f"packet path failed ({type(e).__name__}: {e}); "
-                "falling back to pure-JAX traversal")
-            from tracer.intersect.traverse import nearest_hit_bvh
-            Bs = B // 8
-            small = Ray(origin=origin[:Bs], direction=direction[:Bs])
-            fn = jax.jit(lambda rr: nearest_hit_bvh(rr, scene, bvh).t)
-            dt, _ = _timeit(jax, fn, small, n1=1, n2=3, repeats=1)
-            value = Bs / dt / 1e6
-            extras["path"] = "jnp_while_loop"
-
     print(json.dumps({
-        "metric": "bvh_closest_hit_throughput_100k_spheres",
+        "metric": "bvh_closest_hit_throughput_100k_spheres_e2e",
         "value": round(float(value), 2),
         "unit": "Mrays/s",
         "vs_baseline": round(float(value) / BASELINE_MRAYS, 2),
