@@ -123,15 +123,17 @@ def main():
                                             cell_bits=CELL_BITS)
             return rays, kernel_order_dest(dest, S, SP)
 
-        def oneshot(o, d):
+        def oneshot(o, d, tb):
             rays, dest2 = prep(o, d)
             t, slot, ovf = nearest_hit_hybrid_raw(
-                rays, tables, max_groups=MG, max_candidates=MC,
+                rays, tb, max_groups=MG, max_candidates=MC,
                 subpackets=S, subpacket=SP)
             return t, slot, dest2, ovf
 
+        # tables passed as an argument: closure arrays bake into the HLO.
         fos = jax.jit(oneshot)
-        dt, (t, slot, dest2, ovf) = _timeit(jax, fos, origin, direction)
+        dt, (t, slot, dest2, ovf) = _timeit(jax, fos, origin, direction,
+                                            tables)
         hits = int(np.isfinite(np.asarray(t)[np.asarray(dest2)]).sum())
         value = B / dt / 1e6
         extras["path"] = "hybrid_raw_fused"
@@ -146,7 +148,7 @@ def main():
         fA = jax.jit(lambda f: cone_candidates(f, tables, MG, MC)[0])
         dtA, rows = _timeit(jax, fA, feats)
         extras["phase_a_ms"] = round(dtA * 1e3, 2)
-        rowsk = rows.reshape(g, S, cull.num_chunks, rows.shape[-1])
+        rowsk = rows.reshape(cull.num_chunks, g, S, rows.shape[-1])
         rowsk, feats = jax.block_until_ready((rowsk, feats))
         fB = lambda f, rr: _leafcull_call(
             f, rr, cull.entries, S, SP, cull.leaf_size,
@@ -206,29 +208,30 @@ def main():
     # here; the sparse path restricts the composite to cull candidates.
     try:
         from tracer.core.sort import prep_rays_bucketed as _prep
-        from tracer.diff.sparse import soft_render_sparse_packets
+        from tracer.diff.sparse import soft_render_sparse_fast
         from tracer.diff.soft import SoftParams
         from tracer.kernels.leafcull import build_cull_tables as _bct
 
         dtables = _bct(scene, bvh) if tables is None else tables.cull
 
-        Bd = 16384
+        Bd = 131072
         rd = Ray(origin=origin[:Bd], direction=direction[:Bd])
         padded, _dest = jax.jit(lambda o, d: _prep(
             Ray(origin=o, direction=d), 64))(rd.origin, rd.direction)
         sp = SoftParams()
 
         def loss(centers):
-            img, _ = soft_render_sparse_packets(
+            img, _ = soft_render_sparse_fast(
                 scene.replace(centers=centers), padded.origin,
-                padded.direction, dtables, sp, max_leaves=16, subpacket=64)
+                padded.direction, dtables, sp, max_leaves=16, subpacket=64,
+                top_m=16)
             return jnp.mean(img)
 
         gfn = jax.jit(jax.grad(loss))
         dtg, _ = _timeit(jax, gfn, scene.centers, n1=1, n2=4, repeats=1)
         extras["diff_fwd_bwd_mrays"] = round(Bd / dtg / 1e6, 3)
-        log(f"sparse diff fwd+bwd: {dtg * 1e3:.1f} ms for {Bd} rays "
-            f"-> {Bd / dtg / 1e6:.2f} Mrays/s")
+        log(f"sparse diff fwd+bwd (fast top-M path): {dtg * 1e3:.1f} ms "
+            f"for {Bd} rays -> {Bd / dtg / 1e6:.2f} Mrays/s")
     except Exception as e:
         log(f"sparse diff metric failed ({type(e).__name__}: {e})")
 

@@ -52,3 +52,22 @@ def test_run_sweep_smoke_cpu():
     assert len(res.bvh_s) == 2 and all(v > 0 for v in res.bvh_s)
     j = res.to_json()
     assert "complexity" in j and len(j["speedup"]) == 2
+
+
+def test_committed_scaling_artifact():
+    """results/scaling.json (tools/run_scaling.py): DP throughput must not
+    collapse as devices grow — the structural gate VERDICT r3 asked for.
+    (Absolute efficiency targets apply to real pods; the virtual CPU mesh
+    validates structure.)"""
+    path = os.path.join(ROOT, "results", "scaling.json")
+    assert os.path.exists(path), \
+        "results/scaling.json missing — run tools/run_scaling.py"
+    with open(path) as f:
+        data = json.load(f)
+    rows = data["rows"]
+    assert rows[0]["devices"] == 1
+    base = rows[0]["mrays_per_s"]
+    for row in rows:
+        assert row["mrays_per_s"] > 0
+        # non-collapse: more devices never drops below 60% of 1-device
+        assert row["mrays_per_s"] > 0.6 * base, rows

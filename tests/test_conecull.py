@@ -114,7 +114,7 @@ def test_cone_candidates_cover_brute_hits():
         p = i // 64
         leaf = slot_of[hit_id[i]] // cull.leaf_size
         chunk, rel = divmod(leaf, lpc)
-        row = rows[p, chunk]
+        row = rows[chunk, p]
         cnt = row[0]
         if cnt >= 0:
             assert rel in row[1:1 + cnt], (p, leaf, row[:10])

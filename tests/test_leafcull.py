@@ -168,12 +168,12 @@ def test_leafcull_padding_leaves_not_candidates(rng):
     rows, _ = leaf_candidates(o, d, tables, max_groups=tables.num_groups,
                               max_candidates=tables.leaves_per_chunk,
                               subpacket=64)
-    rows = np.asarray(rows)
-    for p in range(rows.shape[0]):
-        for c in range(rows.shape[1]):
-            cnt = rows[p, c, 0]
+    rows = np.asarray(rows)                     # chunk-major (C, P, rowlen)
+    for c in range(rows.shape[0]):
+        for p in range(rows.shape[1]):
+            cnt = rows[c, p, 0]
             assert cnt >= 0  # budgets maxed: no group mode
-            ids = rows[p, c, 1:1 + cnt] + c * tables.leaves_per_chunk
+            ids = rows[c, p, 1:1 + cnt] + c * tables.leaves_per_chunk
             assert (ids < tables.num_real_leaves).all()
 
 

@@ -92,7 +92,7 @@ def main():
     feats, g, pad = pack_ray_features(rays.origin, rays.direction, S, SP)
     fA = jax.jit(lambda f: cone_candidates(f, tables, 64, 119)[:2])
     msA, (rows, cones) = timeit(fA, feats)
-    rowsk = rows.reshape(g, S, cull.num_chunks, rows.shape[-1])
+    rowsk = rows.reshape(cull.num_chunks, g, S, rows.shape[-1])
     conesk = cones.reshape(g, 1, S, CONE_FEAT)
     rowsk, conesk, feats = jax.block_until_ready((rowsk, conesk, feats))
     fB = lambda f, rr, cc: _conecull_call(
@@ -101,7 +101,7 @@ def main():
     msB, _ = timeit(fB, feats, rowsk, conesk)
     print(f"phase A (cone): {msA:.2f} ms, kernel: {msB:.2f} ms")
 
-    cnt = np.asarray(rows[:, :, 0])
+    cnt = np.asarray(rows[:, :, 0].transpose(1, 0))  # (P, C) from (C, P)
     lpg = cull.leaves_per_group
     cl = np.where(cnt < 0, -cnt * lpg, cnt).sum(1)
     print(f"cand leaves/subpacket: mean={cl.mean():.1f} "

@@ -174,7 +174,7 @@ def main():
     print(f"leaf_candidates TOTAL: {ms:.2f} ms (overflow={bool(ovf)})")
 
     # kernel
-    rowsk = rows.reshape(g, 8, tables.num_chunks, rows.shape[-1])
+    rowsk = rows.reshape(tables.num_chunks, g, 8, rows.shape[-1])
     rowsk, feats = jax.block_until_ready((rowsk, feats))
     fB = lambda f, rr: _leafcull_call(
         f, rr, tables.entries, 8, SP, tables.leaf_size,
@@ -183,7 +183,7 @@ def main():
     print(f"kernel (phase B): {ms:.2f} ms")
 
     # stats: candidate leaves histogram
-    cnt = np.asarray(rows[:, 0, 0])
+    cnt = np.asarray(rows[0, :, 0])
     cnt = np.where(cnt < 0, -cnt * 16, cnt)
     print(f"candidate leaves/subpacket: mean={cnt.mean():.1f} "
           f"p50={np.percentile(cnt,50):.0f} p95={np.percentile(cnt,95):.0f} "

@@ -35,7 +35,9 @@ def main():
             d = json.load(f)
         acc = SweepResult(sizes=d["sizes"], brute_s=d["brute_s"],
                           bvh_s=d["bvh_s"], build_ms=d["build_ms"],
-                          num_rays=d["num_rays"], path=d["path"])
+                          num_rays=d["num_rays"], path=d["path"],
+                          brute_nb=d.get("brute_nb_timed",
+                                         [0] * len(d["sizes"])))
         done = set(d["sizes"])
     for n in SIZES:
         if n in done:
@@ -50,7 +52,8 @@ def main():
                 brute_s=acc.brute_s + res.brute_s,
                 bvh_s=acc.bvh_s + res.bvh_s,
                 build_ms=acc.build_ms + res.build_ms,
-                num_rays=RAYS, path=res.path)
+                num_rays=RAYS, path=res.path,
+                brute_nb=acc.brute_nb + res.brute_nb)
         acc.save_data_txt(os.path.join(OUT, "benchmark_data.txt"))
         with open(os.path.join(OUT, "sweep.json"), "w") as f:
             json.dump(acc.to_json(), f, indent=2)

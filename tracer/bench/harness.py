@@ -29,11 +29,13 @@ from tracer.core.types import Ray
 @dataclasses.dataclass
 class SweepResult:
     sizes: list
-    brute_s: list          # seconds per batch (NaN where skipped)
-    bvh_s: list            # seconds per batch
+    brute_s: list          # seconds per batch (NaN where skipped);
+                           # extrapolated from brute_nb timed rays
+    bvh_s: list            # seconds per batch, END TO END (prep included)
     build_ms: list
     num_rays: int
     path: str              # which traversal implementation was measured
+    brute_nb: list = dataclasses.field(default_factory=list)
 
     def speedups(self):
         return [b / v if (b == b and v == v and v > 0) else float("nan")
@@ -50,6 +52,9 @@ class SweepResult:
             "bvh_s": self.bvh_s,
             "build_ms": self.build_ms,
             "num_rays": self.num_rays,
+            "brute_nb_timed": list(map(int, self.brute_nb)),
+            "brute_note": "brute times at large n are linear extrapolations "
+                          "from brute_nb_timed rays (work product capped)",
             "speedup": self.speedups(),
             "mrays_bvh": self.mrays_bvh(),
             "path": self.path,
@@ -144,9 +149,10 @@ def run_sweep(sizes=(5000, 10000, 15000, 20000, 25000, 30000,
         use_pallas = jax.devices()[0].platform == "tpu"
 
     if use_pallas:
-        from tracer.kernels.leafcull import (build_cull_tables,
-                                             nearest_hit_leafcull_t)
-        path = "leafcull_lite"
+        from tracer.kernels.conecull import (build_cone_tables,
+                                             nearest_hit_hybrid_raw,
+                                             kernel_order_dest)
+        path = "hybrid_raw_fused"
     else:
         from tracer.intersect.traverse import nearest_hit_bvh
         path = "jnp_while_loop"
@@ -158,7 +164,7 @@ def run_sweep(sizes=(5000, 10000, 15000, 20000, 25000, 30000,
                direction=jnp.asarray(d))
 
     res = SweepResult(sizes=list(sizes), brute_s=[], bvh_s=[], build_ms=[],
-                      num_rays=num_rays, path=path)
+                      num_rays=num_rays, path=path, brute_nb=[])
 
     brute_fn = jax.jit(brute_t)
     for n in sizes:
@@ -177,32 +183,43 @@ def run_sweep(sizes=(5000, 10000, 15000, 20000, 25000, 30000,
             # Cap the materialized (rays, sphere-chunk) pair block at
             # 2^28 elements (~1 GB of f32 temporaries) — the reference
             # used a fixed 10k rays for the same reason (benchmark.c:289).
+            # nb (the ray count actually timed) is recorded per point and
+            # the scaled result marked as an extrapolation (ADVICE r3).
             nb = num_rays
             while nb > 2048 and nb * min(n, CHUNK) > (1 << 28):
                 nb //= 2
             rb = Ray(origin=rays.origin[:nb], direction=rays.direction[:nb])
             dt = _time_amortized(lambda: brute_fn(rb, scene))
             res.brute_s.append(dt * (num_rays / nb))
+            res.brute_nb.append(nb)
         else:
             res.brute_s.append(float("nan"))
+            res.brute_nb.append(0)
 
         if use_pallas:
-            tables = build_cull_tables(scene, bvh)
-            sp = 128
-            prep = jax.jit(lambda o, dd: prep_rays_bucketed(
-                Ray(origin=o, direction=dd), sp, cell_bits=8))
-            prays, _ = prep(rays.origin, rays.direction)
+            tables = build_cone_tables(scene, bvh)
+            sp, s_ = 128, 8
             # Group budget scales with leaf density: a truncated refine
-            # (gcounts > max_groups) forces whole (subpacket, chunk) rows
-            # into group-mode walks — at 1M spheres a fixed 48 put 47% of
-            # rows there and tripled kernel time.
-            mg = 48 if n <= 300_000 else (128 if n <= 3_000_000 else 320)
-            fn = jax.jit(lambda rr: nearest_hit_leafcull_t(
-                rr, tables, max_groups=mg, max_candidates=119,
-                subpackets=8, subpacket=sp)[0])
-            # Padded-batch time IS the cost of the num_rays real rays
-            # (padding slots replicate real rays); no renormalization.
-            dt = _time_amortized(lambda: fn(prays))
+            # forces whole (subpacket, chunk) rows into group-mode walks.
+            mg = 64 if n <= 300_000 else (128 if n <= 3_000_000 else 256)
+
+            def oneshot(o, dd, tb, mg=mg):
+                prays, dest = prep_rays_bucketed(
+                    Ray(origin=o, direction=dd), sp, cell_bits=8)
+                t, slot, ovf = nearest_hit_hybrid_raw(
+                    prays, tb, max_groups=mg, max_candidates=119,
+                    subpackets=s_, subpacket=sp)
+                return t, kernel_order_dest(dest, s_, sp)
+
+            # Tables are ARGUMENTS, not closure constants: closed-over
+            # arrays are baked into the HLO, and a 10M-sphere table
+            # (640 MB) blows the remote-compile request limit.
+            fn2 = jax.jit(oneshot)
+            # END-TO-END: prep + cull + kernel in one jit; padded-batch
+            # time IS the cost of the num_rays real rays (padding slots
+            # replicate real rays); no renormalization.
+            dt = _time_amortized(
+                lambda: fn2(rays.origin, rays.direction, tables))
         else:
             rs, _ = sort_rays_by_direction(rays)
             fn = jax.jit(lambda r, s, b: nearest_hit_bvh(r, s, b).t)

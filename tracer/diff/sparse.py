@@ -49,6 +49,32 @@ def soft_radius_scale(params: SoftParams, widths: float = 6.0) -> float:
     return 1.0 + widths / float(params.edge_sharpness)
 
 
+def candidate_leaf_ids(o: Array, d: Array, tables: CullTables,
+                       max_groups: int = 48, max_leaves: int = 16,
+                       subpacket: int = 64):
+    """Per-subpacket candidate LEAF ids (slot order).
+
+    Returns (leaf_ids (P, max_leaves) i32 zero-padded, valid (P, max_leaves)
+    bool, overflow () bool). Single-chunk tables only.
+    """
+    assert tables.num_chunks == 1, "sparse soft expects single-chunk tables"
+    lpg = tables.leaves_per_group
+    k = max_leaves
+    rows, overflow = leaf_candidates(o, d, tables, max_groups, k, subpacket)
+    row = rows[0]                                       # (P, rowlen)
+    cnt = row[:, 0]
+    j = jnp.arange(k, dtype=jnp.int32)
+    ids_leaf = row[:, 1:k + 1]
+    ids_group = row[:, 1 + j // lpg] * lpg + (j % lpg)
+    n_eff = jnp.where(cnt >= 0, jnp.minimum(cnt, k),
+                      jnp.minimum(-cnt * lpg, k))
+    overflow = overflow | jnp.any((cnt < 0) & (-cnt * lpg > k))
+    leaf_ids = jnp.where((cnt >= 0)[:, None], ids_leaf, ids_group)
+    valid = (j[None, :] < n_eff[:, None]) & \
+            (leaf_ids < tables.num_real_leaves) & (leaf_ids >= 0)
+    return jnp.where(valid, leaf_ids, 0), valid, overflow
+
+
 @functools.partial(jax.jit, static_argnames=("max_groups", "max_leaves",
                                              "subpacket"))
 def candidate_sphere_ids(o: Array, d: Array, tables: CullTables,
@@ -66,7 +92,7 @@ def candidate_sphere_ids(o: Array, d: Array, tables: CullTables,
     lpg = tables.leaves_per_group
     k = max_leaves
     rows, overflow = leaf_candidates(o, d, tables, max_groups, k, subpacket)
-    row = rows[:, 0]                                    # (P, rowlen)
+    row = rows[0]                                       # (P, rowlen)
     cnt = row[:, 0]
     P = row.shape[0]
 
@@ -185,3 +211,155 @@ def soft_render_sparse(scene: Scene, rays: Ray, tables: CullTables,
         scene, padded.origin, padded.direction, tables, params,
         max_groups, max_leaves, subpacket)
     return img[dest].reshape(*batch_shape, 3), overflow
+
+
+# ---------------------------------------------------------------------------
+# Fast sparse path: scalar-attr layout + top-M compositing
+# ---------------------------------------------------------------------------
+#
+# The exact path above materializes (P, SP, K, 3) vector intermediates; on
+# TPU any array with a minor dim of 3 pads to 128 lanes (~42x traffic), and
+# the K-wide sorted composite drags take_along gathers whose backward is an
+# elementwise scatter -- measured 2.2 s fwd+bwd for 16k rays at 100k
+# spheres. This path keeps every hot array 2-D (rays x candidates):
+#
+#   1. candidate leaves gathered as whole (leaf_size)-wide attribute rows
+#      from slot-order tables (row gathers, row-scatter transposes);
+#   2. sigma / t_soft for all K candidates from ~14 SCALAR broadcast ops
+#      (no vectors anywhere);
+#   3. per-ray top-M selection on sigma (M ~ 16) -- dropped candidates
+#      have sigma <= the M-th value; with M >= the max overlap depth the
+#      composite is exact to ~K * sigma_min;
+#   4. the exact composite (sort by t, transmittance, shade) runs on the
+#      tiny (B, M) set, shade computed channel-wise.
+#
+# Gradients flow through every gather; top-M indices are piecewise
+# constant like the hard path's argmin.
+
+def slot_attr_tables(scene: Scene, tables: CullTables):
+    """Slot-order per-attr tables (L, leaf_size): cx cy cz c2 r alb0..2.
+
+    Parked (padding) slots sit at 1e15 with unit radius: sigma underflows
+    to exactly 0 through the logit clip and t_soft is huge, so they can
+    never matter to values or gradients.
+    """
+    ls = tables.leaf_size
+    s2s = tables.slot_to_sphere
+    safe = jnp.maximum(s2s, 0)
+    far = s2s < 0
+    c = jnp.where(far[:, None], 1.0e15, scene.centers[safe])
+    r = jnp.where(far, 1.0, scene.radii[safe])
+    alb = jnp.where(far[:, None], 0.0, scene.albedo[safe])
+    cols = [c[:, 0], c[:, 1], c[:, 2], jnp.sum(c * c, axis=1), r,
+            alb[:, 0], alb[:, 1], alb[:, 2]]
+    return [x.reshape(-1, ls) for x in cols]
+
+
+def _sigma_t_scalar(cx, cy, cz, c2, r, ox, oy, oz, dx, dy, dz, od, oo, a,
+                    params: SoftParams):
+    """sigma, t_soft for broadcastable scalar operand layouts -- identical
+    math to _sparse_logits, decomposed into products of scalars."""
+    inva = 1.0 / jnp.maximum(a, 1e-30)
+    ocd = cx * dx + cy * dy + cz * dz - od               # oc . d
+    oc2 = c2 - 2.0 * (cx * ox + cy * oy + cz * oz) + oo  # |oc|^2
+    t_ca = ocd * inva
+    perp2 = jnp.maximum(oc2 - t_ca * t_ca * a, 0.0)
+    eps2 = (params.smooth_eps * r) ** 2
+    perp = jnp.sqrt(perp2 + eps2)
+    sdf = (perp - r) / jnp.maximum(r, 1e-6)
+    sigma = _sigmoid(-sdf * params.edge_sharpness)
+    disc = r * r - perp2
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0) + eps2) - params.smooth_eps * r
+    t_soft = t_ca - sq * jnp.sqrt(inva)
+    sigma = sigma * _sigmoid(t_soft * params.edge_sharpness)
+    return sigma, t_soft
+
+
+def soft_render_sparse_fast(scene: Scene, o: Array, d: Array,
+                            tables: CullTables,
+                            params: SoftParams = None,
+                            max_groups: int = 48, max_leaves: int = 16,
+                            subpacket: int = 64, top_m: int = 16,
+                            recall: float = 0.99):
+    """Fast sparse soft image for sorted+padded rays, (Bp, 3) -> (Bp, 3).
+
+    Returns (img, overflow). Same model as soft_render_sparse_packets up
+    to (a) top-M truncation of the composite (error <= sum of dropped
+    sigmas, ~1e-4 at the defaults) and (b) the TPU-optimized approximate
+    top-M selection (jax.lax.approx_max_k, recall ~= ``recall``).
+    """
+    if params is None:
+        params = SoftParams()
+    ls = tables.leaf_size
+    K = max_leaves * ls
+    leaf_ids, lvalid, overflow = candidate_leaf_ids(
+        o, d, tables, max_groups, max_leaves, subpacket)
+    P = leaf_ids.shape[0]
+    attrs = slot_attr_tables(scene, tables)
+    # Row gathers: (P, max_leaves) leaf rows of ls lanes each -> (P, 1, K).
+    # Invalid candidate rows redirect to the parked sentinel values via a
+    # post-mask (sigma multiplied to 0), not index games.
+    cands = [t[leaf_ids].reshape(P, 1, K) for t in attrs]
+    cx, cy, cz, c2, r, a0, a1, a2 = cands
+    kvalid = jnp.repeat(lvalid, ls, axis=1).reshape(P, 1, K)
+
+    op = o.reshape(P, subpacket, 3)
+    dp = d.reshape(P, subpacket, 3)
+    ox, oy, oz = (op[:, :, i:i + 1] for i in range(3))
+    dx, dy, dz = (dp[:, :, i:i + 1] for i in range(3))
+    od = jnp.sum(op * dp, axis=2)[..., None]
+    oo = jnp.sum(op * op, axis=2)[..., None]
+    a = jnp.sum(dp * dp, axis=2)[..., None]
+
+    sigma, t_soft = _sigma_t_scalar(cx, cy, cz, c2, r, ox, oy, oz,
+                                    dx, dy, dz, od, oo, a, params)
+    sigma = jnp.where(kvalid, sigma, 0.0)
+
+    B = P * subpacket
+    M = min(top_m, K)
+    sflat = sigma.reshape(B, K)
+    _, idx = jax.lax.approx_max_k(sflat, M, recall_target=recall)
+    take = lambda x: jnp.take_along_axis(
+        jnp.broadcast_to(x, (P, subpacket, K)).reshape(B, K), idx, axis=1)
+    sig_m = take(sigma)
+    t_m = take(t_soft)
+    alb_m = [take(jnp.broadcast_to(x, (P, 1, K))) for x in (a0, a1, a2)]
+    cx_m, cy_m, cz_m, r_m = (take(jnp.broadcast_to(x, (P, 1, K)))
+                             for x in (cx, cy, cz, r))
+
+    # Channel-wise shade on the M survivors (identical math to
+    # _sparse_logits' shade, no (..., 3) arrays).
+    oxf, oyf, ozf = (op[:, :, i].reshape(B, 1) for i in range(3))
+    dxf, dyf, dzf = (dp[:, :, i].reshape(B, 1) for i in range(3))
+    px = oxf + t_m * dxf
+    py = oyf + t_m * dyf
+    pz = ozf + t_m * dzf
+    nx, ny, nz = px - cx_m, py - cy_m, pz - cz_m
+    nn = jnp.sqrt(jnp.maximum(nx * nx + ny * ny + nz * nz, 1e-20))
+    nx, ny, nz = nx / nn, ny / nn, nz / nn
+    dn = dxf * nx + dyf * ny + dzf * nz
+    my = dyf - 2.0 * dn * ny                              # mirror.y
+    tt = 0.5 * (my + 1.0)
+    sky = [(1.0 - tt) * 1.0 + tt * (128.0 / 255.0),
+           (1.0 - tt) * 1.0 + tt * (178.0 / 255.0),
+           (1.0 - tt) * 1.0 + tt * 1.0]
+    shade = [alb_m[i] + 0.5 * sky[i] for i in range(3)]
+
+    # Exact ordered composite over the M survivors.
+    order = jnp.argsort(t_m, axis=1)
+    sig_s = jnp.take_along_axis(sig_m * (1.0 - 1e-6), order, axis=1)
+    log1m = jnp.log1p(-sig_s)
+    log_T = jnp.cumsum(log1m, axis=1) - log1m
+    w_s = sig_s * jnp.exp(log_T)
+    # Un-sort the weights so shade is consumed in ORIGINAL order (the
+    # transpose of take_along on scalars only).
+    inv = jnp.argsort(order, axis=1)
+    w = jnp.take_along_axis(w_s, inv, axis=1)
+    t_total = jnp.exp(jnp.sum(log1m, axis=1))[:, None]
+    dflat_y = dp[:, :, 1].reshape(B, 1)
+    sky_bg = [(1.0 - 0.5 * (dflat_y + 1.0)) * 1.0
+              + 0.5 * (dflat_y + 1.0) * c
+              for c in (128.0 / 255.0, 178.0 / 255.0, 1.0)]
+    img = [jnp.clip(jnp.sum(w * shade[i], axis=1)[:, None]
+                    + t_total * sky_bg[i], 0.0, 1.0) for i in range(3)]
+    return jnp.concatenate(img, axis=1), overflow

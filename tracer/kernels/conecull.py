@@ -371,18 +371,19 @@ def cone_candidates(feats: Array, tables: ConeTables,
     rows = jnp.concatenate(
         [cnt_col[..., None], body,
          jnp.full((P, C, pad), lpc, jnp.int32)], axis=2)
-    return rows, cones, overflow
+    # Chunk-major for the kernels' BlockSpec (see leafcull._leafcull_call).
+    return rows.transpose(1, 0, 2), cones, overflow
 
 
 # ---------------------------------------------------------------------------
 # Pallas row compactor (phase A): masked ascending ids -> dense prefixes
 # ---------------------------------------------------------------------------
 
-def _compact_ids_kernel(ids_ref, out_ref, cnt_ref, *, sentinel: int,
-                        keep: int):
-    """(8, M) masked ascending ids (sentinel = masked out) -> per-row
-    compacted prefix (8, keep) + raw survivor counts (8, 128 broadcast).
-    Same monotone-shift butterfly as compact_lanes, 8 rows at once."""
+def _compact_ids_kernel(ids_ref, out_ref, cnt_ref, scratch_ref, *,
+                        sentinel: int, keep: int):
+    """(rows, M) masked ascending ids (sentinel = masked out) -> per-row
+    compacted prefix (rows, keep) + raw survivor counts (rows, 128).
+    Same monotone-shift butterfly as compact_lanes, all rows at once."""
     ids = ids_ref[:]
     M = ids.shape[1]
     lane = jax.lax.broadcasted_iota(jnp.int32, ids.shape, 1)
@@ -404,9 +405,14 @@ def _compact_ids_kernel(ids_ref, out_ref, cnt_ref, *, sentinel: int,
         k *= 2
     # Stale lanes past each row's count still hold old ids; stamp them
     # back to the sentinel so downstream logic needs no count masking.
-    # (Full-width write: slicing [:, :keep] in-kernel at M=1024 trips a
-    # Mosaic vector_extract_strided_slice assertion; the caller slices.)
-    out_ref[:] = jnp.where(lane < csum[:, M - 1:M], ids, sentinel)
+    # Slicing the VALUE [:, :keep] at M>=1024 trips a Mosaic
+    # vector_extract_strided_slice assertion; bounce through a scratch
+    # ref and slice the REF instead (memory op, different code path).
+    if keep == M:
+        out_ref[:] = jnp.where(lane < csum[:, M - 1:M], ids, sentinel)
+    else:
+        scratch_ref[:] = jnp.where(lane < csum[:, M - 1:M], ids, sentinel)
+        out_ref[:] = scratch_ref[:, :keep]
 
 
 def compact_ascending_rows(masked_ids: Array, sentinel: int, keep: int,
@@ -425,9 +431,13 @@ def compact_ascending_rows(masked_ids: Array, sentinel: int, keep: int,
     P, M = masked_ids.shape
     assert P % SUBLANES == 0 and M % LANES == 0
     keep = min(keep, M)
-    # 64 rows per grid step: a Pallas grid step carries ~2-3 us of fixed
-    # overhead on this chip; 8-row steps made the compactor 5x slower.
+    # 64 rows per grid step (a Pallas grid step carries ~2-3 us of fixed
+    # overhead on this chip; 8-row steps made the compactor 5x slower),
+    # shrunk so the double-buffered in/out/scratch blocks stay well under
+    # the VMEM budget at large M (10M-sphere scenes: M ~ 20k).
     rows_per_step = 64
+    while rows_per_step > 8 and rows_per_step * M * 4 * 5 > (6 << 20):
+        rows_per_step //= 2
     while P % rows_per_step:
         rows_per_step //= 2
     out, cnt = pl.pallas_call(
@@ -436,18 +446,19 @@ def compact_ascending_rows(masked_ids: Array, sentinel: int, keep: int,
         in_specs=[pl.BlockSpec((rows_per_step, M), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=(
-            pl.BlockSpec((rows_per_step, M), lambda i: (i, 0),
+            pl.BlockSpec((rows_per_step, keep), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((rows_per_step, LANES), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((P, M), jnp.int32),
+            jax.ShapeDtypeStruct((P, keep), jnp.int32),
             jax.ShapeDtypeStruct((P, LANES), jnp.int32),
         ),
+        scratch_shapes=[pltpu.VMEM((rows_per_step, M), jnp.int32)],
         interpret=interpret,
     )(masked_ids)
-    return out[:, :keep], cnt[:, 0]
+    return out, cnt[:, 0]
 
 
 # ---------------------------------------------------------------------------
@@ -560,7 +571,7 @@ def _conecull_kernel(cand_ref, rays_ref, cones_ref, entries_ref,
         epsa = f[:, 12:13]
         dx, dy, dz = f[:, 0:1], f[:, 1:2], f[:, 2:3]
         nox2, noy2, noz2 = f[:, 3:4], f[:, 4:5], f[:, 5:6]
-        nc = cand_ref[0, s, 0, 0]
+        nc = cand_ref[0, 0, s, 0]
 
         o0x = cones_ref[0, 0, s, 0]
         o0y = cones_ref[0, 0, s, 1]
@@ -725,7 +736,7 @@ def _conecull_kernel(cand_ref, rays_ref, cones_ref, entries_ref,
                     jq = it * QPI + q
                     lids = [
                         jnp.minimum(
-                            cand_ref[0, s, 0,
+                            cand_ref[0, 0, s,
                                      jnp.minimum(1 + 4 * jq + t, rowlen - 1)],
                             leaves_per_chunk)
                         for t in range(4)]
@@ -742,7 +753,7 @@ def _conecull_kernel(cand_ref, rays_ref, cones_ref, entries_ref,
                 quads = []
                 for q in range(QPI):
                     jq = it * QPI + q
-                    g = cand_ref[0, s, 0,
+                    g = cand_ref[0, 0, s,
                                  jnp.minimum(1 + jq // qpg, rowlen - 1)]
                     base = g * LPG + (jq % qpg) * 4
                     lids = [jnp.minimum(base + t, leaves_per_chunk)
@@ -785,7 +796,7 @@ def _conecull_call(feats: Array, cand: Array, cones: Array, entries: Array,
         kernel,
         grid=(C, g),
         in_specs=[
-            pl.BlockSpec((1, S, 1, rowlen), lambda c, i: (i, 0, c, 0),
+            pl.BlockSpec((1, 1, S, rowlen), lambda c, i: (c, i, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, S, SP, FEAT), lambda c, i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -835,7 +846,7 @@ def _run(rays: Ray, tables: ConeTables, max_groups: int,
     rows, cones, overflow = cone_candidates(feats, tables, max_groups,
                                             max_candidates,
                                             interpret=interpret)
-    rows = rows.reshape(g, subpackets, cull.num_chunks, rows.shape[-1])
+    rows = rows.reshape(cull.num_chunks, g, subpackets, rows.shape[-1])
     cones = cones.reshape(g, 1, subpackets, CONE_FEAT)
 
     t_k, slot = _conecull_call(feats, rows, cones, cull.entries, subpackets,
@@ -935,7 +946,7 @@ def nearest_hit_hybrid_raw(rays: Ray, tables: ConeTables,
     rows, _, overflow = cone_candidates(feats, tables, max_groups,
                                         max_candidates,
                                         interpret=interpret)
-    rows = rows.reshape(g, subpackets, cull.num_chunks, rows.shape[-1])
+    rows = rows.reshape(cull.num_chunks, g, subpackets, rows.shape[-1])
     t_k, slot = _leafcull_call(feats, rows, cull.entries, subpackets,
                                subpacket, cull.leaf_size,
                                cull.leaves_per_chunk, cull.leaves_per_group,
@@ -969,7 +980,7 @@ def nearest_hit_hybrid_t(rays: Ray, tables: ConeTables,
     rows, _, overflow = cone_candidates(feats, tables, max_groups,
                                         max_candidates,
                                         interpret=interpret)
-    rows = rows.reshape(g, subpackets, cull.num_chunks, rows.shape[-1])
+    rows = rows.reshape(cull.num_chunks, g, subpackets, rows.shape[-1])
     t_k, slot = _leafcull_call(feats, rows, cull.entries, subpackets,
                                subpacket, cull.leaf_size,
                                cull.leaves_per_chunk, cull.leaves_per_group,

@@ -382,7 +382,8 @@ def leaf_candidates(o: Array, d: Array, tables: CullTables,
     rows = jnp.concatenate(
         [cnt_col[..., None], body,
          jnp.full((P, C, pad), lpc, jnp.int32)], axis=2)
-    return rows, overflow
+    # Chunk-major for the kernels' BlockSpec (see _leafcull_call).
+    return rows.transpose(1, 0, 2), overflow
 
 
 # ---------------------------------------------------------------------------
@@ -432,7 +433,8 @@ def pack_ray_features(o: Array, d: Array, subpackets: int,
 
 def _leafcull_kernel(cand_ref, rays_ref, entries_ref, t_ref, slot_ref, *,
                      subpackets: int, subpacket: int, leaf_size: int,
-                     leaves_per_chunk: int, leaves_per_group: int):
+                     leaves_per_chunk: int, leaves_per_group: int,
+                     multi_chunk: bool = False):
     """Grid (C, G), chunk-MAJOR. One step: ``subpackets`` frustums each walk
     their chunk-c candidate leaves, 4 per iteration, assembled into a full
     128-lane block by lane-quarter select; each (c, g) step writes its own
@@ -451,6 +453,43 @@ def _leafcull_kernel(cand_ref, rays_ref, entries_ref, t_ref, slot_ref, *,
 
     chunk_slot0 = c * leaves_per_chunk * ls               # scalar
 
+    # Multi-chunk sweeps: most (chunk, subpacket) candidate rows are EMPTY
+    # (a subpacket's corridor touches a handful of the C leaf ranges), but
+    # every (c, g) step still paid the full per-subpacket epilogue -- ~86 ms
+    # of reductions over nothing at 1M spheres (C=14). Skip whole steps and
+    # individual subpackets whose rows are empty; C == 1 keeps the
+    # branch-free body (pad subpackets are rare there).
+    if multi_chunk:
+        ncs = [cand_ref[0, 0, s, 0] for s in range(subpackets)]
+        any_work = ncs[0] != 0
+        for s in range(1, subpackets):
+            any_work = any_work | (ncs[s] != 0)
+
+        @pl.when(jnp.logical_not(any_work))
+        def _():
+            t_ref[0, 0] = jnp.full((SP, subpackets), _BIG, jnp.float32)
+            slot_ref[0, 0] = jnp.full((SP, subpackets), _NOSLOT, jnp.int32)
+
+        @pl.when(any_work)
+        def _():
+            _leafcull_step(cand_ref, rays_ref, entries_ref, t_ref, slot_ref,
+                           subpackets, subpacket, leaf_size,
+                           leaves_per_chunk, leaves_per_group,
+                           quarter, lane_mod, chunk_slot0, True)
+    else:
+        _leafcull_step(cand_ref, rays_ref, entries_ref, t_ref, slot_ref,
+                       subpackets, subpacket, leaf_size,
+                       leaves_per_chunk, leaves_per_group,
+                       quarter, lane_mod, chunk_slot0, False)
+
+
+def _leafcull_step(cand_ref, rays_ref, entries_ref, t_ref, slot_ref,
+                   subpackets, subpacket, leaf_size, leaves_per_chunk,
+                   leaves_per_group, quarter, lane_mod, chunk_slot0,
+                   skip_empty):
+    SP = subpacket
+    ls = leaf_size
+    LPG = leaves_per_group
     t_cols = []
     slot_cols = []
     for s in range(subpackets):
@@ -460,7 +499,7 @@ def _leafcull_kernel(cand_ref, rays_ref, entries_ref, t_ref, slot_ref, *,
         od, oo = f[:, 8:9], f[:, 9:10]
         av, inva = f[:, 10:11], f[:, 11:12]
         epsa = f[:, 12:13]
-        nc = cand_ref[0, s, 0, 0]
+        nc = cand_ref[0, 0, s, 0]
 
         def test_quad(parts, lids, carry):
             """One assembled (SP, 128) block: 4 leaves by lane quarter.
@@ -511,7 +550,7 @@ def _leafcull_kernel(cand_ref, rays_ref, entries_ref, t_ref, slot_ref, *,
             # bodies amortize it; 4 independent quad chains also give the
             # VLIW scheduler slack to overlap the scalar-addressed loads.
             def body(j, carry, s=s):
-                loads = [load_leaf(cand_ref[0, s, 0, 1 + 16 * j + q])
+                loads = [load_leaf(cand_ref[0, 0, s, 1 + 16 * j + q])
                          for q in range(16)]
                 for h in range(4):
                     carry = test_quad([p for p, _ in loads[4*h:4*h+4]],
@@ -527,7 +566,7 @@ def _leafcull_kernel(cand_ref, rays_ref, entries_ref, t_ref, slot_ref, *,
             # 16-wide amortization as the leaf walk).
             qpg = LPG // 16                               # iterations/group
             def body(j, carry, s=s):
-                g = cand_ref[0, s, 0, 1 + j // qpg]
+                g = cand_ref[0, 0, s, 1 + j // qpg]
                 base = g * LPG + (j % qpg) * 16
                 e0 = base // 2
                 for h in range(4):
@@ -540,12 +579,24 @@ def _leafcull_kernel(cand_ref, rays_ref, entries_ref, t_ref, slot_ref, *,
                 return carry
             return jax.lax.fori_loop(0, -nc * qpg, body, init)
 
-        ub, ib = jax.lax.cond(nc < 0, group_walk, leaf_walk)
+        def full_cols(nc=nc, inva=inva, group_walk=group_walk,
+                      leaf_walk=leaf_walk):
+            ub, ib = jax.lax.cond(nc < 0, group_walk, leaf_walk)
+            umax = jnp.max(ub, axis=1, keepdims=True)     # (SP, 1)
+            win = (ub == umax) & (ib < _NOSLOT)
+            slot = jnp.min(jnp.where(win, ib, _NOSLOT), axis=1,
+                           keepdims=True)
+            return -umax * inva, slot                     # t = -u / a
 
-        umax = jnp.max(ub, axis=1, keepdims=True)         # (SP, 1)
-        win = (ub == umax) & (ib < _NOSLOT)
-        slot = jnp.min(jnp.where(win, ib, _NOSLOT), axis=1, keepdims=True)
-        t_cols.append(-umax * inva)                       # t = -u / a
+        if skip_empty:
+            tcol, slot = jax.lax.cond(
+                nc == 0,
+                lambda: (jnp.full((SP, 1), _BIG, jnp.float32),
+                         jnp.full((SP, 1), _NOSLOT, jnp.int32)),
+                full_cols)
+        else:
+            tcol, slot = full_cols()
+        t_cols.append(tcol)
         slot_cols.append(slot)
 
     t_ref[0, 0] = jnp.concatenate(t_cols, axis=1)         # (SP, S)
@@ -565,15 +616,16 @@ def _leafcull_call(feats: Array, cand: Array, entries: Array,
     rowlen = cand.shape[-1]
     kernel = functools.partial(
         _leafcull_kernel, subpackets=S, subpacket=SP, leaf_size=leaf_size,
-        leaves_per_chunk=leaves_per_chunk, leaves_per_group=leaves_per_group)
+        leaves_per_chunk=leaves_per_chunk, leaves_per_group=leaves_per_group,
+        multi_chunk=(C > 1))
     t_c, slot_c = pl.pallas_call(
         kernel,
         grid=(C, g),
         in_specs=[
-            # rows arrive (g, S, C, rowlen) straight from phase A -- the
-            # block picks [i, :, c, :], so no host-side transpose is paid
-            # (measured 2.2 ms at 512k rays).
-            pl.BlockSpec((1, S, 1, rowlen), lambda c, i: (i, 0, c, 0),
+            # rows arrive chunk-major (C, g, S, rowlen): the last two
+            # block dims must stay (S, rowlen) to satisfy the Pallas
+            # (8, 128)-divisibility rule at C > 1.
+            pl.BlockSpec((1, 1, S, rowlen), lambda c, i: (c, i, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, S, SP, FEAT), lambda c, i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -630,7 +682,7 @@ def nearest_hit_leafcull_t(rays: Ray, tables: CullTables,
     dp = jnp.pad(d, ((0, pad), (0, 0)), mode="edge")
     rows, overflow = leaf_candidates(op, dp, tables, max_groups,
                                      max_candidates, subpacket)
-    rows = rows.reshape(g, subpackets, tables.num_chunks, rows.shape[-1])
+    rows = rows.reshape(tables.num_chunks, g, subpackets, rows.shape[-1])
 
     t_k, slot = _leafcull_call(feats, rows, tables.entries, subpackets,
                                subpacket, tables.leaf_size,
@@ -668,7 +720,7 @@ def nearest_hit_leafcull(rays: Ray, scene: Scene, tables: CullTables,
     dp = jnp.pad(d, ((0, pad), (0, 0)), mode="edge")
     rows, overflow = leaf_candidates(op, dp, tables, max_groups,
                                      max_candidates, subpacket)
-    rows = rows.reshape(g, subpackets, tables.num_chunks, rows.shape[-1])
+    rows = rows.reshape(tables.num_chunks, g, subpackets, rows.shape[-1])
 
     t_k, slot = _leafcull_call(feats, rows, tables.entries, subpackets,
                                subpacket, tables.leaf_size,
