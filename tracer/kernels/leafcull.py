@@ -158,7 +158,7 @@ def build_cull_tables(scene: Scene, bvh: FlatBVH,
         # Multi-chunk tables stream chunk blocks through Pallas's DOUBLE
         # buffer (a single resident C=1 block is not double-buffered), so
         # each chunk must fit half the ~14 MB usable VMEM.
-        bytes2 = min(max_chunk_bytes, 13 << 19)
+        bytes2 = min(max_chunk_bytes, 12 << 19)
         cap2 = max((bytes2 // (SUBLANES * LANES * 4)) * 2 - 2, align)
         n_chunks = max(1, -(-num_real // cap2))
     lpc = -(-(-(-num_real // n_chunks)) // align) * align
