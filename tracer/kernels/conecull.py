@@ -326,33 +326,50 @@ def cone_candidates(feats: Array, tables: ConeTables,
                                              interpret=interpret)
 
     def chunk_rows(prefix, per_chunk, budget):
+        """C == 1: per-chunk rows are a plain slice of the global prefix."""
         K = prefix.shape[1]
         j = jnp.arange(budget, dtype=jnp.int32)
-        if C == 1:
-            # Single chunk: the window starts at 0 -- a plain slice. The
-            # general take_along path costs P*C*budget ELEMENT gathers
-            # (~3-8 ms at 512k rays).
-            cnt = jnp.sum(prefix < per_chunk, axis=1,
-                          dtype=jnp.int32)[:, None]
-            head = prefix[:, :budget] if K >= budget else jnp.pad(
-                prefix, ((0, 0), (0, budget - K)), constant_values=per_chunk)
-            vals = jnp.where(j[None, :] < jnp.minimum(cnt, budget),
-                             head, per_chunk)[:, None, :]
-            return vals, cnt
-        th = (jnp.arange(C + 1, dtype=jnp.int32) * per_chunk)[None, :, None]
-        bounds = jnp.sum(prefix[:, None, :] < th, axis=2, dtype=jnp.int32)
-        start, cnt = bounds[:, :C], bounds[:, 1:] - bounds[:, :C]
-        idx = jnp.minimum(start[:, :, None] + j[None, None, :], K - 1)
-        vals = jnp.take_along_axis(
-            jnp.broadcast_to(prefix[:, None, :], (P, C, K)), idx, axis=2)
-        base = (jnp.arange(C, dtype=jnp.int32) * per_chunk)[None, :, None]
-        vals = jnp.where(
-            j[None, None, :] < jnp.minimum(cnt, budget)[..., None],
-            vals - base, per_chunk)
+        cnt = jnp.sum(prefix < per_chunk, axis=1, dtype=jnp.int32)[:, None]
+        head = prefix[:, :budget] if K >= budget else jnp.pad(
+            prefix, ((0, 0), (0, budget - K)), constant_values=per_chunk)
+        vals = jnp.where(j[None, :] < jnp.minimum(cnt, budget),
+                         head, per_chunk)[:, None, :]
         return vals, cnt
 
-    lvals, lcnt = chunk_rows(lprefix, lpc, k)
-    gvals, gcnt = chunk_rows(gprefix, gpc, kg)
+    def chunk_rows_multi(mask, ids, per_chunk, budget):
+        """C > 1: one butterfly compaction per chunk over the masked id
+        plane. The round-4 first cut windowed the global prefix with
+        take_along_axis -- P*C*budget ELEMENT gathers, measured ~300 ms
+        at 1M spheres (C=15); C small compactor calls are ~10 ms."""
+        keepc = -(-min(budget, per_chunk) // LANES) * LANES
+        j = jnp.arange(budget, dtype=jnp.int32)
+        vals_list, cnt_list = [], []
+        for cix in range(C):
+            in_c = mask & (ids >= cix * per_chunk) \
+                        & (ids < (cix + 1) * per_chunk)
+            rel = jnp.where(in_c, ids - cix * per_chunk, per_chunk)
+            pref, cnt = compact_ascending_rows(rel, per_chunk, keepc,
+                                               interpret=interpret)
+            head = pref[:, :budget] if keepc >= budget else jnp.pad(
+                pref, ((0, 0), (0, budget - keepc)),
+                constant_values=per_chunk)
+            vals_list.append(jnp.where(
+                j[None, :] < jnp.minimum(cnt[:, None], budget),
+                head, per_chunk))
+            cnt_list.append(cnt)
+        return (jnp.stack(vals_list, axis=1),
+                jnp.stack(cnt_list, axis=1))
+
+    if C == 1:
+        lvals, lcnt = chunk_rows(lprefix, lpc, k)
+        gvals, gcnt = chunk_rows(gprefix, gpc, kg)
+    else:
+        Mpad = -(-G // LANES) * LANES
+        gm_pad = jnp.pad(ghit, ((0, 0), (0, Mpad - G)))
+        gid_pad = jnp.pad(gids, ((0, 0), (0, Mpad - G)),
+                          constant_values=G)
+        lvals, lcnt = chunk_rows_multi(lhit, member, lpc, k)
+        gvals, gcnt = chunk_rows_multi(gm_pad, gid_pad, gpc, kg)
 
     # A truncated prefix (more survivors than K_l/K0 lanes kept) makes the
     # later chunks' windows unreliable -- those rows fall back to group
