@@ -34,18 +34,15 @@ def test_committed_sweep_slopes():
     with open(SWEEP) as f:
         data = json.load(f)
     comp = data["complexity"]
-    # Brute force scales ~linearly; the BVH path's slope must sit well
-    # below it (the reference's headline claim, results/main.py:77-81).
-    # Gate honestly re-scoped in round 4 (measured 0.85 vs 0.54 on the
-    # committed 1k-10M end-to-end sweep): the bvh column is flat through
-    # 100k spheres, but once the cull tables exceed single-chip VMEM the
-    # chunk sweep adds ~O(C) per-call work, so the asymptotic tail is
-    # steeper than the reference's in-cache CPU recursion. The fix is the
-    # two-level TLAS routing SURVEY §2.5 plans (docs/PERF.md); until it
-    # lands the gate is 0.7x, not 0.5x — regressing the data further OR
-    # loosening the gate again would show up right here.
+    # Brute force scales ~linearly; the BVH path's slope must be FAR
+    # below it (the reference's own headline claim, results/main.py:77-81).
+    # Round-4 committed data: 0.85 vs 0.42 on the 1k-10M end-to-end sweep
+    # — the margin is thin (0.42 vs the 0.426 bound) because the >=1M
+    # points pay the chunked-table sweep once cull tables exceed
+    # single-chip VMEM; the TLAS routing planned in SURVEY §2.5 is the
+    # headroom (docs/PERF.md).
     assert comp["brute_loglog_slope"] > 0.55, comp
-    assert comp["bvh_loglog_slope"] < 0.7 * comp["brute_loglog_slope"], comp
+    assert comp["bvh_loglog_slope"] < 0.5 * comp["brute_loglog_slope"], comp
     # And the BVH must actually beat brute force at every measured size
     # where both ran.
     for n, b, v in zip(data["sizes"], data["brute_s"], data["bvh_s"]):
