@@ -257,8 +257,11 @@ def slot_attr_tables(scene: Scene, tables: CullTables):
 
 def _sigma_t_scalar(cx, cy, cz, c2, r, ox, oy, oz, dx, dy, dz, od, oo, a,
                     params: SoftParams):
-    """sigma, t_soft for broadcastable scalar operand layouts -- identical
-    math to _sparse_logits, decomposed into products of scalars."""
+    """sigma, t_soft, mirror.y for broadcastable scalar operand layouts --
+    identical math to _sparse_logits, decomposed into products of scalars.
+    mirror.y is computed here (in K-space) so the top-M stage needs no
+    gathers of the geometry attrs: each per-element take_along costs
+    ~30-50 ns on this chip and they dominated the forward pass."""
     inva = 1.0 / jnp.maximum(a, 1e-30)
     ocd = cx * dx + cy * dy + cz * dz - od               # oc . d
     oc2 = c2 - 2.0 * (cx * ox + cy * oy + cz * oz) + oo  # |oc|^2
@@ -272,7 +275,16 @@ def _sigma_t_scalar(cx, cy, cz, c2, r, ox, oy, oz, dx, dy, dz, od, oo, a,
     sq = jnp.sqrt(jnp.maximum(disc, 0.0) + eps2) - params.smooth_eps * r
     t_soft = t_ca - sq * jnp.sqrt(inva)
     sigma = sigma * _sigmoid(t_soft * params.edge_sharpness)
-    return sigma, t_soft
+    # mirror.y = dy - 2 (d.n) ny with n = (o + t d - c)/|..| (channel-wise
+    # shade needs only this scalar of the mirror vector).
+    px = ox + t_soft * dx - cx
+    py = oy + t_soft * dy - cy
+    pz = oz + t_soft * dz - cz
+    nn = jnp.sqrt(jnp.maximum(px * px + py * py + pz * pz, 1e-20))
+    nx, ny, nz = px / nn, py / nn, pz / nn
+    dn = dx * nx + dy * ny + dz * nz
+    my = dy - 2.0 * dn * ny
+    return sigma, t_soft, my
 
 
 def soft_render_sparse_fast(scene: Scene, o: Array, d: Array,
@@ -311,34 +323,22 @@ def soft_render_sparse_fast(scene: Scene, o: Array, d: Array,
     oo = jnp.sum(op * op, axis=2)[..., None]
     a = jnp.sum(dp * dp, axis=2)[..., None]
 
-    sigma, t_soft = _sigma_t_scalar(cx, cy, cz, c2, r, ox, oy, oz,
-                                    dx, dy, dz, od, oo, a, params)
+    sigma, t_soft, my_k = _sigma_t_scalar(cx, cy, cz, c2, r, ox, oy, oz,
+                                          dx, dy, dz, od, oo, a, params)
     sigma = jnp.where(kvalid, sigma, 0.0)
 
     B = P * subpacket
     M = min(top_m, K)
     sflat = sigma.reshape(B, K)
-    _, idx = jax.lax.approx_max_k(sflat, M, recall_target=recall)
+    sig_m, idx = jax.lax.approx_max_k(sflat, M, recall_target=recall)
     take = lambda x: jnp.take_along_axis(
         jnp.broadcast_to(x, (P, subpacket, K)).reshape(B, K), idx, axis=1)
-    sig_m = take(sigma)
     t_m = take(t_soft)
+    my = take(my_k)
     alb_m = [take(jnp.broadcast_to(x, (P, 1, K))) for x in (a0, a1, a2)]
-    cx_m, cy_m, cz_m, r_m = (take(jnp.broadcast_to(x, (P, 1, K)))
-                             for x in (cx, cy, cz, r))
 
     # Channel-wise shade on the M survivors (identical math to
     # _sparse_logits' shade, no (..., 3) arrays).
-    oxf, oyf, ozf = (op[:, :, i].reshape(B, 1) for i in range(3))
-    dxf, dyf, dzf = (dp[:, :, i].reshape(B, 1) for i in range(3))
-    px = oxf + t_m * dxf
-    py = oyf + t_m * dyf
-    pz = ozf + t_m * dzf
-    nx, ny, nz = px - cx_m, py - cy_m, pz - cz_m
-    nn = jnp.sqrt(jnp.maximum(nx * nx + ny * ny + nz * nz, 1e-20))
-    nx, ny, nz = nx / nn, ny / nn, nz / nn
-    dn = dxf * nx + dyf * ny + dzf * nz
-    my = dyf - 2.0 * dn * ny                              # mirror.y
     tt = 0.5 * (my + 1.0)
     sky = [(1.0 - tt) * 1.0 + tt * (128.0 / 255.0),
            (1.0 - tt) * 1.0 + tt * (178.0 / 255.0),
