@@ -28,3 +28,27 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+# ---------------------------------------------------------------------------
+# Slow-test marking (VERDICT r3 weak 9): the interpret-mode Pallas kernel
+# suites dominate the 15+ minute full run. `pytest -m "not slow"` is the
+# fast gate (~3 min) covering all non-kernel logic; CI / the driver still
+# run everything.
+# ---------------------------------------------------------------------------
+
+SLOW_MODULES = {
+    "test_leafcull", "test_conecull", "test_kernels", "test_cull",
+    "test_scaling_train", "test_device_bvh", "test_sparse_diff",
+}
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: interpret-mode Pallas kernel tests (minutes each)")
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.module.__name__ in SLOW_MODULES:
+            item.add_marker(pytest.mark.slow)
