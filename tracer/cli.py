@@ -279,6 +279,10 @@ def cmd_viz(args):
 
 
 def main(argv=None):
+    # TRACER_DEBUG=1 -> jax_debug_nans for the whole run (tracer/debug.py).
+    from tracer.debug import maybe_enable_debug
+    maybe_enable_debug()
+
     p = argparse.ArgumentParser(prog="tracer",
                                 description="TPU-native SAH-BVH ray tracer")
     sub = p.add_subparsers(dest="cmd", required=True)

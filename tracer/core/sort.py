@@ -98,7 +98,6 @@ def plan_bucket_pad(sorted_codes: Array, subpacket: int,
     """
     b = sorted_codes.shape[0]
     ncells = 1 << cell_bits
-    cell = (sorted_codes >> (32 - cell_bits)).astype(jnp.int32)
     cid = jnp.arange(ncells, dtype=jnp.int32)
     # Per-cell boundaries by searchsorted with ncells+1 QUERIES against the
     # sorted codes (a couple hundred binary-search gathers). The round-3
@@ -117,22 +116,31 @@ def plan_bucket_pad(sorted_codes: Array, subpacket: int,
     pad = (subpacket - cnt % subpacket) % subpacket
     pad_before = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(pad)[:-1].astype(jnp.int32)])
-    dest = jnp.arange(b, dtype=jnp.int32) + pad_before[cell]
     bp = b + ncells * subpacket
-    # Padded cell c occupies [pstart[c], pstart[c+1]); both bounds are
-    # subpacket-aligned, so no subpacket straddles two cells. slot -> cell
-    # via a 256-element scatter-add of cell-boundary markers + one cumsum
-    # (the round-3 dense (bp, ncells) compare-reduce was the other half of
-    # the 8.7 ms).
+    # Per-element/per-slot tables WITHOUT per-element gathers: every
+    # quantity we need is piecewise constant over at most ncells segments
+    # (in b-space at `start`, in bp-space at `pstart`), so scatter the
+    # ncells segment DELTAS and take one shared (3, bp) cumsum. The
+    # round-4 formulation gathered `pad_before[cell]` ((B,)-gather from a
+    # 256 table) and `table[pcell]` ((bp, 3) row gather) — those two
+    # gathers were ~6 of plan_bucket_pad's 8 ms at B=512k on v5e; the
+    # delta-cumsum form measures ~1 ms (tools/profile_r5.py).
+    #
+    # Padded cell c occupies [pstart[c], pstart[c+1]); both ends are
+    # subpacket-aligned, so no subpacket straddles two cells.
     pstart = start + pad_before
-    markers = jnp.zeros((bp + 1,), jnp.int32).at[pstart].add(1)
-    pcell = jnp.clip(jnp.cumsum(markers[:bp]) - 1, 0, ncells - 1)
-    # One packed (ncells, 3) row gather instead of three scalar gathers.
-    table = jnp.stack([pstart, start, cnt], axis=1)[pcell]
+    cap = start + jnp.maximum(cnt - 1, 0)   # last real ray of the cell
+    d_shift = jnp.diff(pad_before, prepend=jnp.zeros((1,), jnp.int32))
+    d_cap = jnp.diff(cap, prepend=jnp.zeros((1,), jnp.int32))
+    rows = jnp.zeros((3, bp), jnp.int32)
+    rows = rows.at[0, pstart].add(d_shift)          # pad_before per slot
+    rows = rows.at[1, pstart].add(d_cap)            # cap per slot
+    rows = rows.at[2, start].add(d_shift)           # pad_before per elem
+    cum = jnp.cumsum(rows, axis=1)
     pos = jnp.arange(bp, dtype=jnp.int32)
-    rel = pos - table[:, 0]
-    src = table[:, 1] + jnp.minimum(rel, jnp.maximum(table[:, 2] - 1, 0))
-    return jnp.clip(src, 0, b - 1), dest
+    src = jnp.clip(jnp.minimum(pos - cum[0], cum[1]), 0, b - 1)
+    dest = jnp.arange(b, dtype=jnp.int32) + cum[2, :b]
+    return src, dest
 
 
 def gather_rays(o: Array, d: Array, idx: Array):

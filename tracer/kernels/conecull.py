@@ -1,4 +1,19 @@
-"""Cone-cull intersector: round-4 hot path (prim-granular candidates).
+"""Cone-cull intersector (prim-granular candidates).
+
+SHIPPING STATUS (read this first):
+  * Phase A here (``cone_candidates`` + ``compact_ascending_rows`` +
+    ``build_cone_tables`` + ``nearest_hit_hybrid_raw``'s phase-A half) IS
+    the shipped hot path — bench.py and the CLI route through it.
+  * Phase B here (the in-kernel butterfly compaction + accumulator +
+    drain: ``_conecull_kernel``/``_conecull_call``/``nearest_hit_conecull``,
+    roughly the second half of this file) is EVALUATED, TESTED, AND NOT
+    SHIPPING. It measured 25.5 ms vs the 16-wide leafcull kernel's ~15 ms
+    at leaf_size=32 (docs/PERF.md "The compaction experiment"): the
+    quadratic test is only ~150 ns per 128-prim quad on the VPU, so
+    removing tests buys less than the compaction machinery costs at this
+    leaf granularity. It is kept because the architecture wins when leaf
+    granularity shrinks (8/16-prim leaves) or scenes coarsen. If you are
+    optimizing the production query, optimize tracer/kernels/leafcull.py.
 
 Fifth-generation TPU design for the reference's closest-hit query
 (``ray_bvh_intersect``, src/hit.c:91-109). The round-3 leafcull kernel
@@ -736,14 +751,24 @@ def _conecull_kernel(cand_ref, rays_ref, cones_ref, entries_ref,
             w_ref[0] = W + cnt
 
             nkeep = ACC_BLOCKS - WINDOW                    # drain threshold
-            @pl.when(w_ref[0] >= nkeep * LANES)
-            def _():
-                drain(nkeep)
-                for b in range(WINDOW):
-                    acc_ref[:, b, :] = acc_ref[:, nkeep + b, :]
-                for b in range(WINDOW, ACC_BLOCKS):
-                    acc_ref[:, b, :] = _sentinel_block()
-                w_ref[0] = w_ref[0] - nkeep * LANES
+            # Two statically-unrolled drain passes guarantee the invariant
+            # W < nkeep*LANES at every push entry (so kb + WINDOW never
+            # indexes past ACC_BLOCKS). One pass is NOT enough: a push can
+            # append up to QPI*LANES = 1024 survivor lanes while a drain
+            # removes only nkeep*LANES = 896, so under sustained full
+            # survivor rates (degenerate-cone accept-all fallback) W grows
+            # ~+128/push until the window write goes out of bounds. With
+            # the invariant, post-append W <= (nkeep*LANES - 1) + 1024 =
+            # 1919 < 2*nkeep*LANES, so two passes always restore it.
+            for _ in range(2):
+                @pl.when(w_ref[0] >= nkeep * LANES)
+                def _():
+                    drain(nkeep)
+                    for b in range(WINDOW):
+                        acc_ref[:, b, :] = acc_ref[:, nkeep + b, :]
+                    for b in range(WINDOW, ACC_BLOCKS):
+                        acc_ref[:, b, :] = _sentinel_block()
+                    w_ref[0] = w_ref[0] - nkeep * LANES
 
         @pl.when(nc >= 0)
         def _(s=s):
