@@ -131,12 +131,12 @@ def main():
     value = None
     tables = None
     try:
-        from tracer.core.sort import prep_rays_bucketed
         from tracer.kernels.conecull import (build_cone_tables,
                                              cone_candidates,
-                                             nearest_hit_hybrid_raw,
+                                             nearest_hit_hybrid_feats,
                                              kernel_order_dest)
-        from tracer.kernels.leafcull import pack_ray_features, _leafcull_call
+        from tracer.kernels.leafcull import (prep_feats_bucketed,
+                                             _leafcull_call)
 
         tables = build_cone_tables(scene, bvh)
         cull = tables.cull
@@ -145,15 +145,14 @@ def main():
             f"{cull.entries.nbytes / 1e6:.1f} MB")
 
         def prep(o, d):
-            rays, dest = prep_rays_bucketed(Ray(origin=o, direction=d), SP,
-                                            cell_bits=CELL_BITS)
-            return rays, kernel_order_dest(dest, S, SP)
+            feats, dest = prep_feats_bucketed(o, d, S, SP,
+                                              cell_bits=CELL_BITS)
+            return feats, kernel_order_dest(dest, S, SP)
 
         def oneshot(o, d, tb):
-            rays, dest2 = prep(o, d)
-            t, slot, ovf = nearest_hit_hybrid_raw(
-                rays, tb, max_groups=MG, max_candidates=MC,
-                subpackets=S, subpacket=SP)
+            feats, dest2 = prep(o, d)
+            t, slot, ovf = nearest_hit_hybrid_feats(
+                feats, tb, max_groups=MG, max_candidates=MC)
             return t, slot, dest2, ovf
 
         # tables passed as an argument: closure arrays bake into the HLO.
@@ -162,15 +161,18 @@ def main():
                                             tables)
         hits = int(np.isfinite(np.asarray(t)[np.asarray(dest2)]).sum())
         value = B / dt / 1e6
-        extras["path"] = "hybrid_raw_fused"
+        extras["path"] = "hybrid_feats_fused"
         extras["overflow"] = bool(ovf)
         extras["hit_fraction"] = round(hits / B, 4)
 
-        # Per-stage split (reported, NOT subtracted from the headline).
+        # Per-stage split (reported, NOT subtracted from the headline; the
+        # chained-timing stages sum to the fused total to within noise —
+        # the round-4 "11 ms fused gap" was an artifact of timing n
+        # independent identical calls, see _timeit).
         prepj = jax.jit(prep)
-        dtp, (rays, _) = _timeit(jax, prepj, origin, direction)
+        dtp, (feats, _) = _timeit(jax, prepj, origin, direction)
         extras["prep_ms"] = round(dtp * 1e3, 2)
-        feats, g, pad = pack_ray_features(rays.origin, rays.direction, S, SP)
+        g = feats.shape[0]
         fA = jax.jit(lambda f: cone_candidates(f, tables, MG, MC)[0])
         dtA, rows = _timeit(jax, fA, feats)
         extras["phase_a_ms"] = round(dtA * 1e3, 2)
@@ -227,6 +229,32 @@ def main():
             dt, _ = _timeit(jax, fn, small, n1=1, n2=3, repeats=1)
             value = Bs / dt / 1e6
             extras["path"] = "jnp_while_loop"
+
+    # Shadow-ray (any-hit) throughput at 100k spheres (BASELINE config 3):
+    # same ray distribution, occlusion over the segment (EPSILON, 500).
+    if tables is not None:
+        try:
+            from tracer.kernels.conecull import occluded_hybrid_feats
+            from tracer.kernels.leafcull import prep_feats_bucketed
+
+            def oneshot_sh(o, d, tb):
+                tm = jnp.full((B,), 500.0, jnp.float32)
+                feats, dest2 = prep_feats_bucketed(
+                    o, d, S, SP, cell_bits=CELL_BITS, t_max=tm)
+                occ, ovf = occluded_hybrid_feats(
+                    feats, tb, max_groups=MG, max_candidates=MC)
+                return occ, kernel_order_dest(dest2, S, SP), ovf
+
+            fsh = jax.jit(oneshot_sh)
+            dtsh, (occ, dsh, _) = _timeit(jax, fsh, origin, direction,
+                                          tables)
+            frac = float(np.asarray(occ)[np.asarray(dsh)].mean())
+            extras["shadow_mrays"] = round(B / dtsh / 1e6, 2)
+            extras["shadow_occluded_fraction"] = round(frac, 4)
+            log(f"shadow any-hit: {dtsh * 1e3:.1f} ms/call -> "
+                f"{B / dtsh / 1e6:.1f} Mrays/s (occluded {frac:.3f})")
+        except Exception as e:
+            log(f"shadow metric failed ({type(e).__name__}: {e})")
 
     # BASELINE metric of record: fwd+bwd Mrays/s at 100k spheres through
     # the BVH-sparsified differentiable path (tracer/diff/sparse.py) on a

@@ -36,6 +36,7 @@ class SweepResult:
     num_rays: int
     path: str              # which traversal implementation was measured
     brute_nb: list = dataclasses.field(default_factory=list)
+    row_paths: list = dataclasses.field(default_factory=list)  # per size
 
     def speedups(self):
         return [b / v if (b == b and v == v and v > 0) else float("nan")
@@ -58,6 +59,7 @@ class SweepResult:
             "speedup": self.speedups(),
             "mrays_bvh": self.mrays_bvh(),
             "path": self.path,
+            "row_paths": self.row_paths,
             "complexity": complexity_fit(self.sizes, self.brute_s, self.bvh_s),
         }
 
@@ -99,7 +101,8 @@ def run_sweep(sizes=(5000, 10000, 15000, 20000, 25000, 30000,
                      35000, 40000, 45000, 50000),
               num_rays: int = 131072, world_size: float = 1000.0,
               brute_limit: int = 20_000_000, use_pallas: bool = None,
-              seed: int = 0, log: Callable = print) -> SweepResult:
+              seed: int = 0, dense_limit: int = 4000,
+              log: Callable = print) -> SweepResult:
     """Run the sweep. Default sizes = the reference's in-repo sweep
     (src/benchmark.c:289-295); pass (1000, 10000, ..., 1e6+) for the
     published-data variant (src/benchmark.c:296).
@@ -150,9 +153,10 @@ def run_sweep(sizes=(5000, 10000, 15000, 20000, 25000, 30000,
 
     if use_pallas:
         from tracer.kernels.conecull import (build_cone_tables,
-                                             nearest_hit_hybrid_raw,
+                                             nearest_hit_hybrid_feats,
                                              kernel_order_dest)
-        path = "hybrid_raw_fused"
+        from tracer.kernels.leafcull import prep_feats_bucketed
+        path = "hybrid_feats_fused"
     else:
         from tracer.intersect.traverse import nearest_hit_bvh
         path = "jnp_while_loop"
@@ -196,7 +200,18 @@ def run_sweep(sizes=(5000, 10000, 15000, 20000, 25000, 30000,
             res.brute_s.append(float("nan"))
             res.brute_nb.append(0)
 
-        if use_pallas:
+        if use_pallas and n <= dense_limit:
+            # Small scenes (VERDICT r4 task 3): the hierarchical pipeline's
+            # fixed cost (sort + bucket + tables) dwarfs what it saves; the
+            # dense scalar-decomposed sweep measures ~127 Mrays/s at 1k
+            # spheres on v5e where the hybrid's floor alone is ~16 ms.
+            from tracer.intersect.brute import brute_t_fast
+            fn3 = jax.jit(lambda o, dd, cc, rr: brute_t_fast(o, dd, cc, rr))
+            dt = _time_amortized(
+                lambda: fn3(rays.origin, rays.direction, scene.centers,
+                            scene.radii))
+            res.row_paths.append("dense_brute_fast")
+        elif use_pallas:
             tables = build_cone_tables(scene, bvh)
             sp, s_ = 128, 8
             # Group budget scales with leaf density: a truncated refine
@@ -204,11 +219,10 @@ def run_sweep(sizes=(5000, 10000, 15000, 20000, 25000, 30000,
             mg = 64 if n <= 300_000 else (128 if n <= 3_000_000 else 256)
 
             def oneshot(o, dd, tb, mg=mg):
-                prays, dest = prep_rays_bucketed(
-                    Ray(origin=o, direction=dd), sp, cell_bits=8)
-                t, slot, ovf = nearest_hit_hybrid_raw(
-                    prays, tb, max_groups=mg, max_candidates=119,
-                    subpackets=s_, subpacket=sp)
+                feats, dest = prep_feats_bucketed(o, dd, s_, sp,
+                                                  cell_bits=8)
+                t, slot, ovf = nearest_hit_hybrid_feats(
+                    feats, tb, max_groups=mg, max_candidates=119)
                 return t, kernel_order_dest(dest, s_, sp)
 
             # Tables are ARGUMENTS, not closure constants: closed-over
@@ -220,10 +234,12 @@ def run_sweep(sizes=(5000, 10000, 15000, 20000, 25000, 30000,
             # replicate real rays); no renormalization.
             dt = _time_amortized(
                 lambda: fn2(rays.origin, rays.direction, tables))
+            res.row_paths.append(path)
         else:
             rs, _ = sort_rays_by_direction(rays)
             fn = jax.jit(lambda r, s, b: nearest_hit_bvh(r, s, b).t)
             dt = _time_amortized(lambda: fn(rs, scene, bvh))
+            res.row_paths.append(path)
         res.bvh_s.append(dt)
         log(f"n={n}: build {res.build_ms[-1]:.0f} ms, "
             f"brute {res.brute_s[-1]:.4f} s, bvh {res.bvh_s[-1]:.4f} s "

@@ -163,6 +163,69 @@ def render(scene: Scene, camera: Camera, key: Array,
     return jnp.clip(img, 0.0, 1.0)
 
 
+OccludedFn = Callable[[Ray, Array], Array]
+
+
+def trace_direct(nearest_hit: NearestHitFn, occluded: OccludedFn,
+                 scene: Scene, rays: Ray, light_pos: Array,
+                 light_intensity: float = 1.0, ambient: float = 0.1,
+                 compact: bool = False) -> Array:
+    """Primary + shadow rays (BASELINE config 3); batch (...,) -> (..., 3).
+
+    One wavefront closest-hit for the primary rays, then one wavefront
+    ANY-HIT query along the segments hit-point -> point light, then a
+    Lambertian direct term::
+
+        L = albedo * (ambient + intensity * visible * max(0, n.l))
+
+    on hits, sky on misses. The reference has no lights or shadows (its
+    trace_ray is bounce+sky only, src/renderer.c:21-77); the sky/albedo
+    conventions here match its float semantics, the shadow query is the
+    config-3 extension. Shadow segments use the UNNORMALIZED direction
+    (light - point) with t_max = 1, so one any-hit covers exactly the
+    segment; the reference t > EPSILON acceptance doubles as the self-hit
+    offset. ``compact=True`` re-sorts the shadow wavefront so rays from
+    miss pixels park into empty subpackets (same scheme as
+    :func:`_compact_rays`).
+    """
+    batch_shape = rays.batch_shape
+    rec = nearest_hit(rays)
+
+    to_light = light_pos - rec.point                       # (..., 3)
+    tmax = jnp.ones(batch_shape, jnp.float32)
+    srays = Ray(origin=rec.point, direction=to_light)
+    if compact:
+        crays, inv = _compact_rays(srays, rec.hit)
+        occ = occluded(crays, tmax.reshape(-1))
+        occ = occ.reshape(-1)[inv].reshape(batch_shape)
+    else:
+        occ = occluded(srays, tmax)
+
+    dist = jnp.linalg.norm(to_light, axis=-1, keepdims=True)
+    l = to_light / jnp.maximum(dist, 1e-12)
+    ndotl = jnp.maximum(jnp.sum(rec.normal * l, axis=-1), 0.0)
+    vis = jnp.where(rec.hit & ~occ, ndotl, 0.0)
+
+    albedo = scene.albedo[jnp.maximum(rec.index, 0)]
+    lit = albedo * (ambient + light_intensity * vis)[..., None]
+    return jnp.where(rec.hit[..., None], lit, sky_color(rays.direction))
+
+
+def render_direct(scene: Scene, camera: Camera, light_pos,
+                  nearest_hit_for: Callable[[Scene], NearestHitFn],
+                  occluded_for: Callable[[Scene], OccludedFn],
+                  config: TracerConfig = DEFAULT_CONFIG,
+                  light_intensity: float = 1.0, ambient: float = 0.1,
+                  compact: bool = False) -> Array:
+    """One direct-lit frame: (H, W, 3) float32 in [0,1] (clamped)."""
+    rays = camera_rays(camera, config)
+    img = trace_direct(nearest_hit_for(scene), occluded_for(scene), scene,
+                       rays, jnp.asarray(light_pos, jnp.float32),
+                       light_intensity=light_intensity, ambient=ambient,
+                       compact=compact)
+    return jnp.clip(img, 0.0, 1.0)
+
+
 @flax.struct.dataclass
 class Accumulator:
     """Temporal accumulation state: running sum + frame count.

@@ -44,6 +44,22 @@ def jtree_reshape(rec: HitRecord, batch_shape) -> HitRecord:
     return jax.tree_util.tree_map(rs, rec)
 
 
+def any_hit_brute(rays: Ray, scene: Scene, t_max) -> jnp.ndarray:
+    """Occlusion oracle: True where ANY sphere blocks (EPSILON, t_max).
+
+    The reference has no shadow rays (its renderer is bounce+sky only);
+    this is the any-hit query BASELINE config 3 adds, defined as "a
+    closest hit would exist with t < t_max" under the exact reference
+    acceptance rule (src/hit.c:19-39). Dense O(B*N); the production path
+    is tracer/kernels/leafcull.occluded_leafcull.
+    """
+    o = rays.origin.reshape(-1, 1, 3)
+    d = rays.direction.reshape(-1, 1, 3)
+    t = ray_sphere_t(o, d, scene.centers[None, :, :], scene.radii[None, :])
+    occ = jnp.any(t < jnp.reshape(t_max, (-1, 1)), axis=-1)
+    return occ.reshape(rays.batch_shape)
+
+
 def brute_t_fast(o, d, centers, radii, block: int = 8192):
     """(t, idx) closest hit, dense O(B*N) in a TPU-friendly layout.
 

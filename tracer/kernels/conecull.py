@@ -1001,6 +1001,57 @@ def nearest_hit_hybrid_raw(rays: Ray, tables: ConeTables,
 
 
 @functools.partial(jax.jit, static_argnames=(
+    "max_groups", "max_candidates", "interpret"))
+def nearest_hit_hybrid_feats(feats: Array, tables: ConeTables,
+                             max_groups: int = 64,
+                             max_candidates: int = 119,
+                             interpret: bool = False):
+    """Raw-order lite closest hit from PREBUILT feature planes.
+
+    Same contract as :func:`nearest_hit_hybrid_raw` but takes the
+    (G, S, SP, FEAT) operand from leafcull.prep_feats_bucketed directly —
+    the round-5 prep never materializes padded (bp, 3) ray arrays at all
+    (their 3 -> 128 lane tiling cost ~5 ms at 512k rays)."""
+    from tracer.kernels.leafcull import _leafcull_call
+
+    cull = tables.cull
+    g, S, SP, _ = feats.shape
+    rows, _, overflow = cone_candidates(feats, tables, max_groups,
+                                        max_candidates, interpret=interpret)
+    rows = rows.reshape(cull.num_chunks, g, S, rows.shape[-1])
+    t_k, slot = _leafcull_call(feats, rows, cull.entries, S, SP,
+                               cull.leaf_size, cull.leaves_per_chunk,
+                               cull.leaves_per_group, interpret=interpret)
+    slot = slot.reshape(-1)
+    t_k = t_k.reshape(-1)
+    hit = slot < _NOSLOT
+    return jnp.where(hit, t_k, jnp.inf), jnp.where(hit, slot, -1), overflow
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "max_groups", "max_candidates", "interpret"))
+def occluded_hybrid_feats(feats: Array, tables: ConeTables,
+                          max_groups: int = 64, max_candidates: int = 119,
+                          interpret: bool = False):
+    """Raw-order any-hit (shadow) query from prebuilt feature planes.
+
+    feats must be packed with a finite t_max (leafcull.prep_feats_bucketed
+    / pack_ray_features ``t_max=``). Returns (occluded (bp,) i32 in raw
+    kernel order, overflow)."""
+    from tracer.kernels.leafcull import _anyhit_call
+
+    cull = tables.cull
+    g, S, SP, _ = feats.shape
+    rows, _, overflow = cone_candidates(feats, tables, max_groups,
+                                        max_candidates, interpret=interpret)
+    rows = rows.reshape(cull.num_chunks, g, S, rows.shape[-1])
+    occ = _anyhit_call(feats, rows, cull.entries, S, SP, cull.leaf_size,
+                       cull.leaves_per_chunk, cull.leaves_per_group,
+                       interpret=interpret)
+    return occ.reshape(-1), overflow
+
+
+@functools.partial(jax.jit, static_argnames=(
     "max_groups", "max_candidates", "subpackets", "subpacket", "interpret"))
 def nearest_hit_hybrid_t(rays: Ray, tables: ConeTables,
                          max_groups: int = 64, max_candidates: int = 119,

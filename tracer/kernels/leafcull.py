@@ -394,16 +394,18 @@ FEAT = 16  # per-ray feature lanes (11 used, padded to a power of two)
 
 
 def pack_ray_features(o: Array, d: Array, subpackets: int,
-                           subpacket: int):
+                           subpacket: int, t_max: Array | None = None):
     """(B, 3) rays -> (G, S, SP, FEAT) per-ray column operands.
 
     Lanes 0-7 are the MXU operand row [dx, dy, dz, -2ox, -2oy, -2oz, 1, 0]:
     the kernel contracts it against per-quad prim columns to get c.d and
     -2 o.c + ccr in one (SP, 8) @ (8, 256) matmul. Lanes 8-12 are VPU
-    broadcast scalars [o.d, |o|^2, a, 1/a, eps*a]. One merged (SP, FEAT)
-    plane per subpacket (instead of three (SP, 8) planes) cuts the
-    lane-padding inflation of the HBM feature array 3x (the 16 -> 128 pad
-    is paid once per subpacket).
+    broadcast scalars [o.d, |o|^2, a, 1/a, eps*a]. Lane 13 is -a*t_max for
+    the any-hit (shadow) kernel's far clip (u > -a*t_max <=> t < t_max);
+    -BIG when no t_max is given, which every kernel but anyhit ignores.
+    One merged (SP, FEAT) plane per subpacket (instead of three (SP, 8)
+    planes) cuts the lane-padding inflation of the HBM feature array 3x
+    (the 16 -> 128 pad is paid once per subpacket).
 
     Padding rays replicate the last real ray (coherent tail). Returns
     (features, G, pad).
@@ -415,20 +417,71 @@ def pack_ray_features(o: Array, d: Array, subpackets: int,
     pad = g * step - b
     o = jnp.pad(o, ((0, pad), (0, 0)), mode="edge")
     d = jnp.pad(d, ((0, pad), (0, 0)), mode="edge")
+    if t_max is not None:
+        t_max = jnp.pad(t_max.reshape(-1), ((0, pad),), mode="edge")
 
+    feats = _feature_rows(o, d, t_max)                    # (B', FEAT)
+    return feats.reshape(g, S, SP, FEAT), g, pad
+
+
+def _feature_rows(o: Array, d: Array, t_max: Array | None = None) -> Array:
+    """(B, 3) rays -> (B, FEAT) f32 feature rows (see pack_ray_features)."""
     zeros = jnp.zeros_like(o[:, 0])
     ones = jnp.ones_like(o[:, 0])
     od = jnp.sum(o * d, axis=-1)
     oo = jnp.sum(o * o, axis=-1)
     a = jnp.sum(d * d, axis=-1)
     inva = 1.0 / jnp.maximum(a, 1e-30)
+    if t_max is None:
+        negat = jnp.full_like(a, -_BIG)
+    else:
+        negat = -a * t_max.reshape(-1)
     cols = [d[:, 0], d[:, 1], d[:, 2],
             -2.0 * o[:, 0], -2.0 * o[:, 1], -2.0 * o[:, 2],
             ones, zeros,
-            od, oo, a, inva, EPSILON * a]
+            od, oo, a, inva, EPSILON * a, negat]
     cols += [zeros] * (FEAT - len(cols))
-    feats = jnp.stack(cols, axis=-1)                      # (B', FEAT)
-    return feats.reshape(g, S, SP, FEAT).astype(jnp.float32), g, pad
+    return jnp.stack(cols, axis=-1).astype(jnp.float32)
+
+
+def prep_feats_bucketed(o: Array, d: Array, subpackets: int, subpacket: int,
+                        cell_bits: int = 8, t_max: Array | None = None):
+    """Fused cull-kernel pre-pass: sort + bucket-pad + feature pack with
+    the ray permutation applied ONCE, as a (bp, FEAT) row gather.
+
+    The round-4 pipeline materialized the padded rays as two (bp, 3)
+    arrays and re-read them in pack_ray_features; minor-dim-3 arrays tile
+    3 -> 128 lanes on TPU, so that detour wrote ~42x the useful bytes and
+    measured 12.7 ms at 512k rays where this fused form measures 8.2
+    (tools/profile_r5c.py variants A vs C). Feature rows are computed in
+    ORIGINAL ray order (dense, cheap), then gathered straight into the
+    (G, S, SP, FEAT) kernel operand layout.
+
+    Returns (feats, dest): dest (B,) i32 maps each input ray to its slot
+    in the PADDED stream (apply conecull.kernel_order_dest for the raw
+    kernel output order).
+    """
+    from tracer.core.sort import octahedral_codes, plan_bucket_pad
+
+    S, SP = subpackets, subpacket
+    b = o.shape[0]
+    codes = octahedral_codes(d)
+    iota = jnp.arange(b, dtype=jnp.int32)
+    sc, perm = jax.lax.sort((codes, iota), dimension=0, num_keys=1)
+    src, dest_sorted = plan_bucket_pad(sc, SP, cell_bits=cell_bits)
+    idx = perm[src]
+    # Invert by a second 2-operand sort (~1 ms at 512k) — cheaper than the
+    # i32 scatter XLA emits for .at[perm].set.
+    _, dest = jax.lax.sort((perm, dest_sorted), dimension=0, num_keys=1)
+
+    table = _feature_rows(o, d, t_max)                    # (B, FEAT)
+    feats = table[idx]                                    # (bp, FEAT)
+    bp = feats.shape[0]
+    step = S * SP
+    tail = (-bp) % step
+    if tail:
+        feats = jnp.pad(feats, ((0, tail), (0, 0)), mode="edge")
+    return feats.reshape(-1, S, SP, FEAT), dest
 
 
 def _leafcull_kernel(cand_ref, rays_ref, entries_ref, t_ref, slot_ref, *,
@@ -743,6 +796,180 @@ def nearest_hit_leafcull(rays: Ray, scene: Scene, tables: CullTables,
     rec = jax.tree_util.tree_map(
         lambda x: x.reshape(*batch_shape, *x.shape[1:]), rec)
     return rec, overflow
+
+
+def _anyhit_kernel(cand_ref, rays_ref, entries_ref, occ_ref, *,
+                   subpackets: int, subpacket: int, leaf_size: int,
+                   leaves_per_chunk: int, leaves_per_group: int,
+                   multi_chunk: bool = False):
+    """Any-hit (shadow/occlusion) variant of ``_leafcull_kernel``.
+
+    BASELINE config 3's shadow query: does ANY prim satisfy the reference
+    acceptance rule (disc > 0, near root, t > EPSILON; src/hit.c:19-39)
+    with t < t_max? Differences from the closest-hit kernel:
+
+      * no argmin epilogue — the per-subpacket result is one boolean
+        column, folded with max instead of (umax, winning slot);
+      * the far clip t < t_max rides feature lane 13 as -a*t_max
+        (u > -a*t_max <=> t < t_max, both sides negated by a > 0);
+      * the walk EARLY-EXITS once every ray of the subpacket is occluded
+        (a while_loop on ``not all occluded``): a shadow query in a dense
+        scene typically terminates in 1-2 iterations, where closest-hit
+        must always walk every candidate.
+    """
+    SP = subpacket
+    ls = leaf_size
+    LPG = leaves_per_group
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+    quarter = lane // ls
+    lane_mod = lane % ls
+    c = pl.program_id(0)
+    chunk_slot0 = c * leaves_per_chunk * ls
+
+    occ_cols = []
+    for s in range(subpackets):
+        f = rays_ref[0, s]                                # (SP, FEAT)
+        dx, dy, dz = f[:, 0:1], f[:, 1:2], f[:, 2:3]
+        nox2, noy2, noz2 = f[:, 3:4], f[:, 4:5], f[:, 5:6]
+        od, oo = f[:, 8:9], f[:, 9:10]
+        av = f[:, 10:11]
+        epsa = f[:, 12:13]
+        negat = f[:, 13:14]
+        nc = cand_ref[0, 0, s, 0]
+
+        def test_quad(parts, occ):
+            A = jnp.where(quarter % 4 < 2,
+                          jnp.where(quarter % 4 == 0, parts[0], parts[1]),
+                          jnp.where(quarter % 4 == 2, parts[2], parts[3]))
+            cx, cy, cz, ccr = A[0:1], A[1:2], A[2:3], A[3:4]
+            m1 = dx * cx + dy * cy + dz * cz
+            m2 = nox2 * cx + noy2 * cy + noz2 * cz + ccr
+            bp = od - m1
+            cq = m2 + oo
+            disc = bp * bp - av * cq
+            u = bp + jnp.sqrt(jnp.maximum(disc, 0.0))
+            ok = (disc > 0.0) & (u < -epsa) & (u > negat)
+            # i32 masks throughout: Mosaic's i1 vector support is partial
+            # (no concat, no loop carries observed working), i32 is safe.
+            return occ | ok.astype(jnp.int32)
+
+        init = jnp.zeros((SP, LANES), jnp.int32)
+
+        def leaf_walk(nc=nc, s=s):
+            def cond(carry):
+                j, occ, done = carry
+                return (j < (nc + 15) // 16) & (done == 0)
+
+            def body(carry, s=s):
+                j, occ, done = carry
+                parts = []
+                for q in range(16):
+                    lid = cand_ref[0, 0, s, 1 + 16 * j + q]
+                    e = entries_ref[0, lid // 2]
+                    parts.append(jax.lax.select(lid % 2 == 0, e[0:4],
+                                                e[4:8]))
+                for h in range(4):
+                    occ = test_quad(parts[4 * h:4 * h + 4], occ)
+                # Early exit when every ray row has an occluded lane.
+                done = (jnp.min(jnp.max(occ, axis=1)) > 0).astype(jnp.int32)
+                return j + 1, occ, done
+
+            out = jax.lax.while_loop(cond, body, (jnp.int32(0), init,
+                                                  jnp.int32(0)))
+            return out[1]
+
+        def group_walk(nc=nc, s=s):
+            qpg = LPG // 16
+            def body(j, occ, s=s):
+                g = cand_ref[0, 0, s, 1 + j // qpg]
+                base = g * LPG + (j % qpg) * 16
+                e0 = base // 2
+                for h in range(4):
+                    parts = [entries_ref[0, e0 + 2 * h][0:4],
+                             entries_ref[0, e0 + 2 * h][4:8],
+                             entries_ref[0, e0 + 2 * h + 1][0:4],
+                             entries_ref[0, e0 + 2 * h + 1][4:8]]
+                    occ = test_quad(parts, occ)
+                return occ
+            return jax.lax.fori_loop(0, -nc * qpg, body, init)
+
+        def full_col(nc=nc):
+            occ = jax.lax.cond(nc < 0, group_walk, leaf_walk)
+            return jnp.max(occ, axis=1, keepdims=True)     # (SP, 1) i32
+
+        if multi_chunk:
+            col = jax.lax.cond(
+                nc == 0, lambda: jnp.zeros((SP, 1), jnp.int32), full_col)
+        else:
+            col = full_col()
+        occ_cols.append(col)
+
+    occ_ref[0, 0] = jnp.concatenate(occ_cols, axis=1)      # (SP, S)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "subpackets", "subpacket", "leaf_size", "leaves_per_chunk",
+    "leaves_per_group", "interpret"))
+def _anyhit_call(feats: Array, cand: Array, entries: Array,
+                 subpackets: int, subpacket: int, leaf_size: int,
+                 leaves_per_chunk: int, leaves_per_group: int,
+                 interpret: bool = False):
+    g = feats.shape[0]
+    C = entries.shape[0]
+    S, SP = subpackets, subpacket
+    rowlen = cand.shape[-1]
+    kernel = functools.partial(
+        _anyhit_kernel, subpackets=S, subpacket=SP, leaf_size=leaf_size,
+        leaves_per_chunk=leaves_per_chunk, leaves_per_group=leaves_per_group,
+        multi_chunk=(C > 1))
+    occ_c = pl.pallas_call(
+        kernel,
+        grid=(C, g),
+        in_specs=[
+            pl.BlockSpec((1, 1, S, rowlen), lambda c, i: (c, i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, S, SP, FEAT), lambda c, i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1,) + entries.shape[1:], lambda c, i: (c, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, SP, S), lambda c, i: (c, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((C, g, SP, S), jnp.int32),
+        interpret=interpret,
+    )(cand, feats, entries)
+    return jnp.max(occ_c, axis=0)                          # OR over chunks
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "max_groups", "max_candidates", "subpackets", "subpacket", "interpret"))
+def occluded_leafcull(rays: Ray, tables: CullTables, t_max: Array,
+                      max_groups: int = 48, max_candidates: int = 119,
+                      subpackets: int = 8, subpacket: int = 64,
+                      interpret: bool = False):
+    """Shadow/occlusion query: (occluded (batch,) bool, overflow).
+
+    True where any prim blocks the ray segment (EPSILON, t_max) under the
+    reference acceptance rule. Rays should be pre-sorted for packet
+    coherence like the closest-hit path (tracer/core/sort.py).
+    """
+    batch_shape = rays.batch_shape
+    o = rays.origin.reshape(-1, 3)
+    d = rays.direction.reshape(-1, 3)
+    b = o.shape[0]
+
+    feats, g, pad = pack_ray_features(o, d, subpackets, subpacket,
+                                      t_max=t_max)
+    op = jnp.pad(o, ((0, pad), (0, 0)), mode="edge")
+    dp = jnp.pad(d, ((0, pad), (0, 0)), mode="edge")
+    rows, overflow = leaf_candidates(op, dp, tables, max_groups,
+                                     max_candidates, subpacket)
+    rows = rows.reshape(tables.num_chunks, g, subpackets, rows.shape[-1])
+    occ = _anyhit_call(feats, rows, tables.entries, subpackets, subpacket,
+                       tables.leaf_size, tables.leaves_per_chunk,
+                       tables.leaves_per_group, interpret=interpret)
+    occ = occ.transpose(0, 2, 1).reshape(-1)[:b] > 0
+    return occ.reshape(batch_shape), overflow
 
 
 def nearest_hit_leafcull_checked(rays: Ray, scene: Scene, tables: CullTables,
