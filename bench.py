@@ -165,10 +165,16 @@ def main():
         extras["overflow"] = bool(ovf)
         extras["hit_fraction"] = round(hits / B, 4)
 
-        # Per-stage split (reported, NOT subtracted from the headline; the
-        # chained-timing stages sum to the fused total to within noise —
-        # the round-4 "11 ms fused gap" was an artifact of timing n
-        # independent identical calls, see _timeit).
+        # Per-stage split (reported, NOT subtracted from the headline).
+        # Reconciliation: prep_ms is a true prefix of the fused call;
+        # phase_a_ms/kernel_ms are STANDALONE costs with materialized
+        # operands and may exceed their in-fused cost — in particular the
+        # standalone kernel pays a padded-layout HBM read of the feats
+        # operand ((…,16) minor tiles to 128 lanes) that the fused graph's
+        # producer layout avoids, so kernel_ms is an upper bound. The
+        # fused total is the headline; round-4's "11 ms fused gap" ran the
+        # other way and was an artifact of timing n independent identical
+        # calls (see _timeit).
         prepj = jax.jit(prep)
         dtp, (feats, _) = _timeit(jax, prepj, origin, direction)
         extras["prep_ms"] = round(dtp * 1e3, 2)

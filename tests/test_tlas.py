@@ -1,0 +1,118 @@
+"""TLAS-routed multi-chunk path (tracer/kernels/tlas.py) vs oracles.
+
+Forces small chunk budgets so toy scenes split into many chunks, then
+asserts the routed pipeline gives exactly the dense multi-chunk hybrid's
+results and brute force's hits (per-ray id equality). Interpret mode on
+CPU like the rest of the kernel CI.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tracer.bvh.builder import build_bvh
+from tracer.core.types import Ray
+from tracer.intersect.brute import nearest_hit_brute
+from tracer.kernels.conecull import (build_cone_tables, kernel_order_dest,
+                                     nearest_hit_hybrid_feats)
+from tracer.kernels.leafcull import prep_feats_bucketed
+from tracer.kernels.tlas import nearest_hit_tlas_feats, route_pairs
+from tracer.scene.scene import benchmark_scene
+
+
+def _mk(n, world, chunk_mb, leaf=8, seed=1):
+    scene = benchmark_scene(jax.random.PRNGKey(seed), n, world_size=world)
+    bvh = build_bvh(np.asarray(scene.centers), np.asarray(scene.radii),
+                    leaf_size=leaf)
+    tables = build_cone_tables(scene, bvh,
+                               max_chunk_bytes=int(chunk_mb * (1 << 20)))
+    return scene, tables
+
+
+def _rays(rng, n, span=0.0):
+    d = rng.uniform(-1, 1, size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    o = rng.uniform(-span, span, size=(n, 3)).astype(np.float32)
+    return jnp.asarray(o), jnp.asarray(d)
+
+
+@pytest.mark.parametrize("n,world,span,chunk_mb", [
+    (4096, 150.0, 0.0, 0.25),    # origin rays, ~6 chunks
+    (4096, 150.0, 30.0, 0.25),   # spread origins
+    (8192, 200.0, 10.0, 0.125),  # more chunks
+])
+def test_tlas_equals_dense_hybrid_and_brute(n, world, span, chunk_mb):
+    rng = np.random.default_rng(n + int(span))
+    scene, tables = _mk(n, world, chunk_mb)
+    C = tables.cull.num_chunks
+    assert C > 1
+    o, d = _rays(rng, 1024, span)
+    S, SP = 8, 64
+    feats, dest = prep_feats_bucketed(o, d, S, SP, cell_bits=8)
+    ko = np.asarray(kernel_order_dest(dest, S, SP))
+
+    t_d, slot_d, ovf_d = nearest_hit_hybrid_feats(feats, tables,
+                                                  interpret=True)
+    t_r, slot_r, ovf_r = nearest_hit_tlas_feats(feats, tables,
+                                                interpret=True)
+    assert not bool(ovf_d) and not bool(ovf_r)
+    np.testing.assert_array_equal(np.asarray(slot_r)[ko],
+                                  np.asarray(slot_d)[ko])
+    np.testing.assert_allclose(np.asarray(t_r)[ko], np.asarray(t_d)[ko],
+                               rtol=2e-5, atol=1e-4)
+
+    # vs brute: hit mask + sphere id equality
+    ref = nearest_hit_brute(Ray(origin=o, direction=d), scene)
+    s2s = np.asarray(tables.cull.slot_to_sphere)
+    slot = np.asarray(slot_r)[ko]
+    ids = np.where(slot >= 0, s2s[np.maximum(slot, 0)], -1)
+    np.testing.assert_array_equal(ids, np.asarray(ref.index))
+
+
+def test_tlas_overflow_flag_on_tiny_budgets():
+    rng = np.random.default_rng(0)
+    scene, tables = _mk(4096, 150.0, 0.25)
+    o, d = _rays(rng, 1024, 0.0)
+    feats, _ = prep_feats_bucketed(o, d, 8, 64, cell_bits=8)
+    # npairs=2 cannot hold the routing; the flag must fire, not crash.
+    _, _, ovf = nearest_hit_tlas_feats(feats, tables, npairs=2, kc=1,
+                                       interpret=True)
+    assert bool(ovf)
+
+
+def test_route_pairs_covers_every_occupied_chunk():
+    """Every chunk that contains a ray's true hit must appear in that
+    ray's g-block routing (conservative cull can only ADD pairs)."""
+    rng = np.random.default_rng(7)
+    scene, tables = _mk(4096, 150.0, 0.25)
+    o, d = _rays(rng, 512, 10.0)
+    S, SP = 8, 64
+    feats, dest = prep_feats_bucketed(o, d, S, SP, cell_bits=8)
+    from tracer.kernels.conecull import bounds_from_feats
+    o_lo, o_hi, d_lo, d_hi = bounds_from_feats(feats)
+    pair_c, pair_gb, act, merge_pos, ovf = route_pairs(
+        o_lo, o_hi, d_lo, d_hi, tables, S, npairs=4096, kc=32,
+        interpret=True)
+    assert not bool(ovf)
+    routed = set()
+    for c, gb, a in zip(np.asarray(pair_c), np.asarray(pair_gb),
+                        np.asarray(act)):
+        if a:
+            routed.add((int(c), int(gb)))
+
+    ref = nearest_hit_brute(Ray(origin=o, direction=d), scene)
+    # hit sphere -> slot -> chunk
+    prim = np.asarray(tables.cull.slot_to_sphere)
+    sphere_to_slot = {int(s): i for i, s in enumerate(prim) if s >= 0}
+    lpc = tables.cull.leaves_per_chunk
+    ls = tables.cull.leaf_size
+    dn = np.asarray(dest)
+    for i, (hit, idx) in enumerate(zip(np.asarray(ref.hit),
+                                       np.asarray(ref.index))):
+        if not hit:
+            continue
+        slot = sphere_to_slot[int(idx)]
+        chunk = slot // (lpc * ls)
+        gb = int(dn[i]) // (S * SP)
+        assert (chunk, gb) in routed, (i, chunk, gb)
