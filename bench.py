@@ -268,7 +268,7 @@ def main():
     # here; the sparse path restricts the composite to cull candidates.
     try:
         from tracer.core.sort import prep_rays_bucketed as _prep
-        from tracer.diff.sparse import soft_render_sparse_fast
+        from tracer.diff.sparse import soft_render_sparse_leaforder
         from tracer.diff.soft import SoftParams
         from tracer.kernels.leafcull import build_cull_tables as _bct
 
@@ -281,16 +281,15 @@ def main():
         sp = SoftParams()
 
         def loss(centers):
-            img, _ = soft_render_sparse_fast(
+            img, _ = soft_render_sparse_leaforder(
                 scene.replace(centers=centers), padded.origin,
-                padded.direction, dtables, sp, max_leaves=16, subpacket=64,
-                top_m=16)
+                padded.direction, dtables, sp, max_leaves=16, subpacket=64)
             return jnp.mean(img)
 
         gfn = jax.jit(jax.grad(loss))
         dtg, _ = _timeit(jax, gfn, scene.centers, n1=1, n2=4, repeats=1)
         extras["diff_fwd_bwd_mrays"] = round(Bd / dtg / 1e6, 3)
-        log(f"sparse diff fwd+bwd (fast top-M path): {dtg * 1e3:.1f} ms "
+        log(f"sparse diff fwd+bwd (leaf-order path): {dtg * 1e3:.1f} ms "
             f"for {Bd} rays -> {Bd / dtg / 1e6:.2f} Mrays/s")
     except Exception as e:
         log(f"sparse diff metric failed ({type(e).__name__}: {e})")

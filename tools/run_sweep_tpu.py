@@ -19,7 +19,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from tracer.bench.harness import SweepResult, run_sweep, plot_sweep  # noqa: E402
 
 SIZES = ([int(s) for s in sys.argv[1].split(",")] if len(sys.argv) > 1
-         else [1000, 10_000, 100_000, 1_000_000, 10_000_000])
+         else [1000, 10_000, 100_000, 1_000_000, 10_000_000, 100_000_000])
 RAYS = int(sys.argv[2]) if len(sys.argv) > 2 else 131072
 OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                    "results")
@@ -37,7 +37,9 @@ def main():
                           bvh_s=d["bvh_s"], build_ms=d["build_ms"],
                           num_rays=d["num_rays"], path=d["path"],
                           brute_nb=d.get("brute_nb_timed",
-                                         [0] * len(d["sizes"])))
+                                         [0] * len(d["sizes"])),
+                          row_paths=d.get("row_paths",
+                                          [d["path"]] * len(d["sizes"])))
         done = set(d["sizes"])
     for n in SIZES:
         if n in done:
@@ -53,7 +55,8 @@ def main():
                 bvh_s=acc.bvh_s + res.bvh_s,
                 build_ms=acc.build_ms + res.build_ms,
                 num_rays=RAYS, path=res.path,
-                brute_nb=acc.brute_nb + res.brute_nb)
+                brute_nb=acc.brute_nb + res.brute_nb,
+                row_paths=acc.row_paths + res.row_paths)
         acc.save_data_txt(os.path.join(OUT, "benchmark_data.txt"))
         with open(os.path.join(OUT, "sweep.json"), "w") as f:
             json.dump(acc.to_json(), f, indent=2)

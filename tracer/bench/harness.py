@@ -97,6 +97,11 @@ def _time_amortized(fn, n_calls: int = 4) -> float:
     return time_device(fn)
 
 
+def time_chained(fn, *args, **kw):
+    from tracer.bench.timing import time_chained as _tc
+    return _tc(fn, *args, **kw)
+
+
 def run_sweep(sizes=(5000, 10000, 15000, 20000, 25000, 30000,
                      35000, 40000, 45000, 50000),
               num_rays: int = 131072, world_size: float = 1000.0,
@@ -193,7 +198,8 @@ def run_sweep(sizes=(5000, 10000, 15000, 20000, 25000, 30000,
             while nb > 2048 and nb * min(n, CHUNK) > (1 << 28):
                 nb //= 2
             rb = Ray(origin=rays.origin[:nb], direction=rays.direction[:nb])
-            dt = _time_amortized(lambda: brute_fn(rb, scene))
+            dt = time_chained(lambda o: brute_fn(
+                Ray(origin=o, direction=rb.direction), scene), rb.origin)
             res.brute_s.append(dt * (num_rays / nb))
             res.brute_nb.append(nb)
         else:
@@ -207,9 +213,8 @@ def run_sweep(sizes=(5000, 10000, 15000, 20000, 25000, 30000,
             # spheres on v5e where the hybrid's floor alone is ~16 ms.
             from tracer.intersect.brute import brute_t_fast
             fn3 = jax.jit(lambda o, dd, cc, rr: brute_t_fast(o, dd, cc, rr))
-            dt = _time_amortized(
-                lambda: fn3(rays.origin, rays.direction, scene.centers,
-                            scene.radii))
+            dt = time_chained(fn3, rays.origin, rays.direction,
+                              scene.centers, scene.radii)
             res.row_paths.append("dense_brute_fast")
         elif use_pallas:
             tables = build_cone_tables(scene, bvh)
@@ -217,28 +222,55 @@ def run_sweep(sizes=(5000, 10000, 15000, 20000, 25000, 30000,
             # Group budget scales with leaf density: a truncated refine
             # forces whole (subpacket, chunk) rows into group-mode walks.
             mg = 64 if n <= 300_000 else (128 if n <= 3_000_000 else 256)
+            C = tables.cull.num_chunks
+            if C > 1:
+                # Multi-chunk scenes route through the TLAS level
+                # (tracer/kernels/tlas.py): only live (chunk, g-block)
+                # pairs exist in phase A, the kernel grid, and memory.
+                from tracer.kernels.tlas import nearest_hit_tlas_feats
+                g_est = (num_rays + 256 * sp) // (s_ * sp) + 1
+                npairs = min(C * g_est, max(4096, 24 * g_est))
+                kcap = min(C, 48)
 
-            def oneshot(o, dd, tb, mg=mg):
-                feats, dest = prep_feats_bucketed(o, dd, s_, sp,
-                                                  cell_bits=8)
-                t, slot, ovf = nearest_hit_hybrid_feats(
-                    feats, tb, max_groups=mg, max_candidates=119)
-                return t, kernel_order_dest(dest, s_, sp)
+                def oneshot(o, dd, tb, mg=mg, npairs=npairs, kcap=kcap):
+                    feats, dest = prep_feats_bucketed(o, dd, s_, sp,
+                                                      cell_bits=8)
+                    t, slot, ovf = nearest_hit_tlas_feats(
+                        feats, tb, max_groups=mg, max_candidates=119,
+                        npairs=npairs, kc=kcap)
+                    return t, kernel_order_dest(dest, s_, sp), ovf
+            else:
+                def oneshot(o, dd, tb, mg=mg):
+                    feats, dest = prep_feats_bucketed(o, dd, s_, sp,
+                                                      cell_bits=8)
+                    t, slot, ovf = nearest_hit_hybrid_feats(
+                        feats, tb, max_groups=mg, max_candidates=119)
+                    return t, kernel_order_dest(dest, s_, sp), ovf
 
             # Tables are ARGUMENTS, not closure constants: closed-over
             # arrays are baked into the HLO, and a 10M-sphere table
             # (640 MB) blows the remote-compile request limit.
             fn2 = jax.jit(oneshot)
+            out = fn2(rays.origin, rays.direction, tables)
+            ovf = bool(np.asarray(out[-1]))
+            if ovf:
+                log(f"n={n}: budget overflow on the routed path "
+                    "(results conservative-degraded); recorded as-is")
             # END-TO-END: prep + cull + kernel in one jit; padded-batch
             # time IS the cost of the num_rays real rays (padding slots
             # replicate real rays); no renormalization.
-            dt = _time_amortized(
-                lambda: fn2(rays.origin, rays.direction, tables))
-            res.row_paths.append(path)
+            dt = time_chained(
+                lambda o, dd, tb: fn2(o, dd, tb),
+                rays.origin, rays.direction, tables)
+            res.row_paths.append(
+                ("tlas_routed" if C > 1 else path)
+                + ("_overflow" if ovf else ""))
         else:
             rs, _ = sort_rays_by_direction(rays)
             fn = jax.jit(lambda r, s, b: nearest_hit_bvh(r, s, b).t)
-            dt = _time_amortized(lambda: fn(rs, scene, bvh))
+            dt = time_chained(lambda o, s, b: fn(
+                Ray(origin=o, direction=rs.direction), s, b),
+                rs.origin, scene, bvh)
             res.row_paths.append(path)
         res.bvh_s.append(dt)
         log(f"n={n}: build {res.build_ms[-1]:.0f} ms, "

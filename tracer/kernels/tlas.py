@@ -101,12 +101,14 @@ def route_pairs(o_lo, o_hi, d_lo, d_hi, tables: ConeTables, subpackets: int,
                             jnp.cumsum(ccnt)[:-1].astype(jnp.int32)])
     jrank = jnp.cumsum(gbhit.astype(jnp.int32), axis=0) - 1  # (g, C)
     Cpad = -(-C // LANES) * LANES
+    gpad8 = (-g) % 8   # compactor wants a multiple-of-8 row count
     cids_m = jnp.where(gbhit, jnp.broadcast_to(
         jnp.arange(C, dtype=jnp.int32), (g, C)), C)
-    cids_m = jnp.pad(cids_m, ((0, 0), (0, Cpad - C)), constant_values=C)
+    cids_m = jnp.pad(cids_m, ((0, gpad8), (0, Cpad - C)), constant_values=C)
     kck = min(-(-kc // LANES) * LANES, Cpad)
     cpref, ccount = compact_ascending_rows(cids_m, C, kck,
                                            interpret=interpret)
+    cpref, ccount = cpref[:g], ccount[:g]
     kc_eff = min(kc, kck)
     cpref = cpref[:, :kc_eff]
     safe_c = jnp.minimum(cpref, C - 1)
