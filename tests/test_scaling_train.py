@@ -82,6 +82,52 @@ def test_train_step_direct():
     assert not np.allclose(p0, np.asarray(params["centers"]))
 
 
+def test_sharded_train_loss_equals_unsharded_soft_render():
+    """VERDICT r4 task 5: the scene-sharded trainer must optimize the SAME
+    model the renderer evaluates. With per-shard top-K >= shard size the
+    merged ordered composite is exact, so the sharded step's loss must
+    equal the single-device soft_render loss on the same params."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from tracer.diff.soft import SoftParams, soft_render
+    from tracer.dist.train import make_train_step
+    from tracer.scene.camera import camera_rays
+
+    devs = jax.devices()[:8]
+    mesh = Mesh(np.array(devs).reshape(2, 4), (RAY_AXIS, SCENE_AXIS))
+    scene = benchmark_scene(jax.random.PRNGKey(3), 32, world_size=40.0,
+                            radius=4.0)
+    cfg = TracerConfig(width=16, height=8, max_depth=1)
+    rays = camera_rays(Camera.default(), cfg)
+    o = rays.origin.reshape(-1, 3)
+    d = rays.direction.reshape(-1, 3)
+    target = jnp.zeros_like(o)
+    soft = SoftParams()
+
+    # k_top = shard size (32/4 = 8): every local sphere is a candidate,
+    # the merge holds the WHOLE scene -> exact equality.
+    init_fn, step_factory = make_train_step(mesh, soft=soft, k_top=8)
+    params, opt_state = init_fn(scene)
+    step = step_factory(opt_state)
+
+    shard = lambda x, spec: jax.device_put(x, NamedSharding(mesh, spec))
+    params_s = jax.tree_util.tree_map(lambda x: shard(x, P(SCENE_AXIS)),
+                                      params)
+    opt_state = jax.tree_util.tree_map(
+        lambda x: shard(x, P(SCENE_AXIS) if getattr(x, "ndim", 0) > 0
+                        else P()), opt_state)
+    os_, ds_, ts_ = (shard(x, P(RAY_AXIS)) for x in (o, d, target))
+    _, _, loss_sharded = step(params_s, opt_state, os_, ds_, ts_)
+
+    # Unsharded reference loss through the shipped renderer on the same
+    # (sigmoid/softplus round-tripped) parameters.
+    from tracer.diff.fit import params_to_scene
+    scene_rt = params_to_scene(params)
+    img = soft_render(scene_rt, Camera.default(), soft, cfg,
+                      rays=Ray(origin=o, direction=d))
+    loss_ref = float(jnp.mean((img.reshape(-1, 3) - target) ** 2))
+    np.testing.assert_allclose(float(loss_sharded), loss_ref, rtol=1e-5)
+
+
 def test_fit_microbatched_overlap_matches_single():
     # The overlapped per-tile psum path must compute the same optimization
     # trajectory as the single all-reduce (same grads up to fp reassoc).
