@@ -236,6 +236,38 @@ def main():
             value = Bs / dt / 1e6
             extras["path"] = "jnp_while_loop"
 
+    # TPU-native build (VERDICT r4 task 7): time the on-device LBVH at the
+    # headline size and quantify its tree-quality cost by running the SAME
+    # fused query on tables built from the LBVH tree.
+    if value is not None:
+        try:
+            from tracer.bvh.device import build_bvh_device
+            from tracer.kernels.conecull import (
+                build_cone_tables as _bcone,
+                nearest_hit_hybrid_feats as _nhf)
+            from tracer.kernels.leafcull import (
+                prep_feats_bucketed as _pfb)
+
+            fb = jax.jit(lambda c, r: build_bvh_device(c, r, leaf_size=32))
+            dtb, dbvh = _timeit(jax, fb, scene.centers, scene.radii)
+            extras["bvh_build_device_ms"] = round(dtb * 1e3, 2)
+            dtables = _bcone(scene, dbvh)
+
+            def oneshot_l(o, d, tb):
+                feats, dest2 = _pfb(o, d, S, SP, cell_bits=CELL_BITS)
+                t, slot, ovf = _nhf(feats, tb, max_groups=MG,
+                                    max_candidates=MC)
+                return t, slot, dest2, ovf
+
+            fl = jax.jit(oneshot_l)
+            dtl, _ = _timeit(jax, fl, origin, direction, dtables)
+            extras["lbvh_e2e_mrays"] = round(B / dtl / 1e6, 2)
+            log(f"device LBVH: build {dtb * 1e3:.1f} ms on-chip (host SAH "
+                f"{build_ms:.0f} ms); query on LBVH tree "
+                f"{dtl * 1e3:.1f} ms -> {B / dtl / 1e6:.1f} Mrays/s")
+        except Exception as e:
+            log(f"device LBVH metric failed ({type(e).__name__}: {e})")
+
     # Shadow-ray (any-hit) throughput at 100k spheres (BASELINE config 3):
     # same ray distribution, occlusion over the segment (EPSILON, 500).
     if tables is not None:

@@ -57,6 +57,17 @@ def main():
                  "collective structure and records per-device-count "
                  "throughput; absolute numbers are CPU-bound. Real-pod "
                  "efficiency extends this file."),
+        "overhead_note": (
+            "work_ms/overhead_ms decompose each row via a quarter-size "
+            "batch: T(n,B) = overhead(n) + work(B)/n. On a VIRTUAL mesh "
+            "all n 'devices' share one host's cores, so the compute pool "
+            "is constant and per-device efficiency CANNOT approach 1/n "
+            "scaling by construction — the decomposition shows how much "
+            "of each step is batch-proportional compute (shrinks with n "
+            "only until the shared cores saturate) vs fixed "
+            "partition/collective overhead (grows mildly with n). The "
+            ">=85% real-pod target applies to real chips where work/n "
+            "scales; overhead_ms is the term that must stay small there."),
         "rows": rows,
     }
     with open(OUT, "w") as f:

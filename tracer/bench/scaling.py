@@ -43,12 +43,26 @@ def measure_scaling(scene, rays: Ray, nearest_hit: Callable,
             r, s, mesh, nearest_hit).t)
         from tracer.bench.timing import time_device
         dt = time_device(fn, rays, scene, n1=1, n2=1 + reps, repeats=1)
+        # Overhead decomposition (VERDICT r4 task 10): time a second,
+        # quarter-size batch. With T(n, B) = overhead(n) + work(B)/n the
+        # two measurements separate the batch-proportional term from the
+        # per-device-count fixed cost:
+        #   work_term = (T(B) - T(B/4)) * 4/3 ;  overhead = T(B) - work.
+        q = b // 4
+        rq = Ray(origin=rays.origin.reshape(-1, 3)[:q],
+                 direction=rays.direction.reshape(-1, 3)[:q])
+        dtq = time_device(fn, rq, scene, n1=1, n2=1 + reps, repeats=1)
+        work = max((dt - dtq) * 4.0 / 3.0, 0.0)
+        overhead = max(dt - work, 0.0)
         mrays = b / dt / 1e6
         if base is None:
             base = mrays
         rows.append({
             "devices": n,
             "ms": round(dt * 1e3, 3),
+            "ms_quarter_batch": round(dtq * 1e3, 3),
+            "work_ms": round(work * 1e3, 3),
+            "overhead_ms": round(overhead * 1e3, 3),
             "mrays_per_s": round(mrays, 3),
             "efficiency": round(mrays / (base * n), 4),
         })

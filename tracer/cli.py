@@ -144,6 +144,31 @@ def _make_nearest(args, scene, cam):
     raise SystemExit(f"unknown --impl {impl}")
 
 
+def _make_occluded(args, scene):
+    """Any-hit (shadow) query factory matching --impl's closest-hit tier."""
+    import jax
+    from tracer.intersect.brute import any_hit_brute
+
+    n_spheres = int(scene.centers.shape[0])
+    on_tpu = jax.devices()[0].platform == "tpu"
+    if on_tpu and args.bvh and n_spheres > 4000:
+        import numpy as np
+        from tracer.bvh.builder import build_bvh
+        from tracer.kernels.leafcull import (build_cull_tables,
+                                             occluded_leafcull)
+        bvh = build_bvh(np.asarray(scene.centers), np.asarray(scene.radii),
+                        leaf_size=32)
+        tables = build_cull_tables(scene, bvh)
+
+        def occluded_for(s):
+            def f(r, tmax):
+                occ, _ = occluded_leafcull(r, tables, tmax)
+                return occ
+            return f
+        return occluded_for
+    return lambda s: (lambda r, tmax: any_hit_brute(r, s, tmax))
+
+
 def cmd_render(args):
     import jax
     import jax.numpy as jnp
@@ -153,9 +178,20 @@ def cmd_render(args):
     scene, cam = _make_scene_camera(args)
     nearest, info = _make_nearest(args, scene, cam)
 
-    frame = jax.jit(lambda s, c, noise: render(s, c, None, nearest, cfg,
-                                               noise=noise,
-                                               compact=args.compact))
+    if args.mode == "direct":
+        # Primary + shadow rays (BASELINE config 3): one closest hit, one
+        # any-hit toward a point light, Lambertian direct term.
+        from tracer.integrator.wavefront import render_direct
+        light = jnp.asarray([float(x) for x in args.light.split(",")],
+                            jnp.float32)
+        occluded = _make_occluded(args, scene)
+        frame = jax.jit(lambda s, c, noise: render_direct(
+            s, c, light, nearest, occluded, cfg,
+            light_intensity=args.light_intensity, compact=args.compact))
+    else:
+        frame = jax.jit(lambda s, c, noise: render(s, c, None, nearest, cfg,
+                                                   noise=noise,
+                                                   compact=args.compact))
 
     # Fly-through trajectory: move along the camera's forward axis by
     # --fly-speed per frame (the scripted analog of WASD, src/main.c:288-315);
@@ -330,6 +366,12 @@ def main(argv=None):
                     help="tilecull per-subpacket tile budget")
     sp.add_argument("--compact", action=argparse.BooleanOptionalAction,
                     default=False, help="wavefront compaction between bounces")
+    sp.add_argument("--mode", choices=["path", "direct"], default="path",
+                    help="path = reference bounce integrator; direct = "
+                         "primary + shadow rays (BASELINE config 3)")
+    sp.add_argument("--light", default="0,200,0",
+                    help="point light position x,y,z (direct mode)")
+    sp.add_argument("--light-intensity", type=float, default=1.0)
     sp.add_argument("--profile", default=None, metavar="DIR",
                     help="capture a jax.profiler trace into DIR")
     sp.add_argument("--checkpoint", default=None,
