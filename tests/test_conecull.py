@@ -231,3 +231,47 @@ def test_hybrid_matches_brute():
                                        subpacket=64, interpret=True)
     ref = nearest_hit_brute(padded, scene)
     np.testing.assert_array_equal(np.asarray(sid), np.asarray(ref.index))
+
+
+def test_conecull_unsorted_degenerate_cones_match_brute():
+    """ADVICE r4: UNSORTED incoherent rays give direction boxes straddling
+    the origin -> degenerate cones (rho = 1e18, accept-all refine) and
+    group-mode rows, the regime where the accumulator sustains full
+    survivor rates. The two-pass drain (push_iteration) must keep the
+    window in bounds and results exactly equal to brute force."""
+    scene, bvh = _scene_bvh(n=900, leaf_size=8)
+    tables = build_cone_tables(scene, bvh)
+    rays = _origin_rays(512, seed=11)   # NO sort, NO bucketing
+
+    rec, overflow = nearest_hit_conecull(rays, scene, tables,
+                                         subpackets=4, subpacket=64,
+                                         max_groups=64, max_candidates=119,
+                                         interpret=True)
+    ref = nearest_hit_brute(rays, scene)
+    got_id = np.asarray(rec.index)
+    ref_id = np.asarray(ref.index)
+    np.testing.assert_array_equal(got_id, ref_id)
+    ok = ref_id >= 0
+    np.testing.assert_allclose(np.asarray(rec.t)[ok], np.asarray(ref.t)[ok],
+                               rtol=2e-4, atol=1e-4)
+
+
+def test_conecull_group_mode_rows_exercised():
+    """Force group-mode rows (tiny leaf budget) and assert equality --
+    covers the group-walk path of the phase B kernel."""
+    scene, bvh = _scene_bvh(n=900, leaf_size=8)
+    tables = build_cone_tables(scene, bvh)
+    rays = _origin_rays(512, seed=5)
+    padded, _ = prep_rays_bucketed(rays, 64, cell_bits=4)
+    from tracer.kernels.leafcull import pack_ray_features as _prf
+    feats, g, _ = _prf(padded.origin, padded.direction, 4, 64)
+    rows, _, _ = cone_candidates(feats, tables, 64, 7, interpret=True)
+    assert (np.asarray(rows)[0, :, 0] < 0).any(), \
+        "budget 7 should force at least one group-mode row"
+
+    rec, _ = nearest_hit_conecull(padded, scene, tables, subpackets=4,
+                                  subpacket=64, max_candidates=7,
+                                  interpret=True)
+    ref = nearest_hit_brute(padded, scene)
+    np.testing.assert_array_equal(np.asarray(rec.index),
+                                  np.asarray(ref.index))
