@@ -69,11 +69,12 @@ def main():
                 return t, kernel_order_dest(dest, S, SP), ovf
             return f
 
-        for name, fn in [
-            ("dense_chunks", dense),
-            ("tlas x8/kc16", make_tlas(8, 16)),
-            ("tlas x24/kc48", make_tlas(24, 48)),
-        ]:
+        import os
+        variants = [("tlas x8/kc16", make_tlas(8, 16)),
+                    ("tlas x24/kc48", make_tlas(24, 48))]
+        if os.environ.get("TLAS_DENSE"):
+            variants.insert(0, ("dense_chunks", dense))
+        for name, fn in variants:
             try:
                 jf = jax.jit(fn)
                 out = jf(o, d, tables)
