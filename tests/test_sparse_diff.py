@@ -164,3 +164,57 @@ def test_sparse_fast_gradients_fd(rng):
     g_ref = np.asarray(jax.grad(loss_ref)(scene.centers))
     scale = np.abs(g_ref).max()
     np.testing.assert_allclose(g, g_ref, atol=0.02 * scale + 1e-7)
+
+
+def test_sparse_leaforder_matches_packets(rng):
+    """The round-5 leaf-ordered fast path vs the exact per-ray composite.
+    Deviation exists only where two soft silhouettes overlap one ray at
+    commensurate t from different distance-ranked leaves (and within-leaf
+    slot order); bounded tight on these scenes."""
+    from tracer.core.sort import prep_rays_bucketed
+    from tracer.diff.sparse import (soft_render_sparse_packets,
+                                    soft_render_sparse_leaforder)
+    scene, tables, params = _scene_tables(n=600)
+    rays = _rand_rays(rng, 1024)
+    padded, dest = prep_rays_bucketed(
+        Ray(origin=rays.origin, direction=rays.direction), 64, cell_bits=4)
+    ref, ovf1 = soft_render_sparse_packets(
+        scene, padded.origin, padded.direction, tables, params,
+        max_leaves=64)
+    lo, ovf2 = soft_render_sparse_leaforder(
+        scene, padded.origin, padded.direction, tables, params,
+        max_leaves=64)
+    assert not bool(ovf2)
+    np.testing.assert_allclose(np.asarray(lo), np.asarray(ref), atol=4e-3)
+
+
+def test_sparse_leaforder_gradients_match_exact(rng):
+    """AD-vs-AD gradient agreement with the exact composite (the FD
+    agreement of which is covered above), same policy as the top-M path."""
+    from tracer.core.sort import prep_rays_bucketed
+    from tracer.diff.sparse import (soft_render_sparse_packets,
+                                    soft_render_sparse_leaforder)
+    scene, tables, params = _scene_tables(n=200)
+    rays = _rand_rays(rng, 256)
+    padded, _ = prep_rays_bucketed(
+        Ray(origin=rays.origin, direction=rays.direction), 64, cell_bits=4)
+    target = jnp.zeros((padded.origin.shape[0], 3))
+
+    def loss(centers):
+        img, _ = soft_render_sparse_leaforder(
+            scene.replace(centers=centers), padded.origin, padded.direction,
+            tables, params, max_leaves=64)
+        return jnp.mean((img - target) ** 2)
+
+    g = np.asarray(jax.grad(loss)(scene.centers))
+    assert np.isfinite(g).all()
+
+    def loss_ref(centers):
+        img, _ = soft_render_sparse_packets(
+            scene.replace(centers=centers), padded.origin, padded.direction,
+            tables, params, max_leaves=64)
+        return jnp.mean((img - target) ** 2)
+
+    g_ref = np.asarray(jax.grad(loss_ref)(scene.centers))
+    scale = np.abs(g_ref).max()
+    np.testing.assert_allclose(g, g_ref, atol=0.02 * scale + 1e-7)
