@@ -57,21 +57,26 @@ def main():
 
         g_est = (B + 256 * SP) // (S * SP) + 1
 
-        def make_tlas(npm, kcv, mg=mg, C=C):
+        def make_tlas(npm, kcv, mgv=mg, C=C):
             npq = min(C * g_est, npm * g_est)
 
             def f(oo, dd, tb):
                 feats, dest = prep_feats_bucketed(oo, dd, S, SP,
                                                   cell_bits=8)
                 t, slot, ovf = nearest_hit_tlas_feats(
-                    feats, tb, max_groups=mg, max_candidates=119,
+                    feats, tb, max_groups=mgv, max_candidates=119,
                     npairs=npq, kc=min(kcv, C))
                 return t, kernel_order_dest(dest, S, SP), ovf
             return f
 
         import os
-        variants = [("tlas x8/kc16", make_tlas(8, 16)),
-                    ("tlas x24/kc48", make_tlas(24, 48))]
+        spec = os.environ.get("TLAS_VARIANTS", "8:16:0,24:48:0")
+        variants = []
+        for v in spec.split(","):
+            npm_s, kcv_s, mg_s = v.split(":")
+            mgv = int(mg_s) or mg
+            variants.append((f"tlas x{npm_s}/kc{kcv_s}/mg{mgv}",
+                             make_tlas(int(npm_s), int(kcv_s), mgv)))
         if os.environ.get("TLAS_DENSE"):
             variants.insert(0, ("dense_chunks", dense))
         for name, fn in variants:

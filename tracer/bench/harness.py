@@ -227,10 +227,18 @@ def run_sweep(sizes=(5000, 10000, 15000, 20000, 25000, 30000,
                 # Multi-chunk scenes route through the TLAS level
                 # (tracer/kernels/tlas.py): only live (chunk, g-block)
                 # pairs exist in phase A, the kernel grid, and memory.
+                # Budgets grow with chunk count (deeper corridors cross
+                # more chunks); overflow is recorded per row.
                 from tracer.kernels.tlas import nearest_hit_tlas_feats
                 g_est = (num_rays + 256 * sp) // (s_ * sp) + 1
-                npairs = min(C * g_est, max(4096, 24 * g_est))
-                kcap = min(C, 48)
+                # Budgets from tools/diag_tlas.py at 10M/512k rays: total
+                # pairs 38.4x g, chunks-per-g-block max 103 (origin rays
+                # see every chunk stacked along the axis) -> 40x/128.
+                pair_mult = 24 if C <= 32 else 40
+                npairs = min(C * g_est, max(4096, pair_mult * g_est))
+                kcap = min(C, 48 if C <= 32 else 128)
+                if C > 32:
+                    mg = 32   # per-CHUNK group budget (not the global one)
 
                 def oneshot(o, dd, tb, mg=mg, npairs=npairs, kcap=kcap):
                     feats, dest = prep_feats_bucketed(o, dd, s_, sp,
