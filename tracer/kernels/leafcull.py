@@ -191,20 +191,48 @@ def build_cull_tables(scene: Scene, bvh: FlatBVH,
     slots[:take] = prim_idx[:take]
 
     # --- pair-packed, lane-replicated prim entries ---
-    centers_p, radii_p = padded_scene_arrays(scene.centers, scene.radii)
-    sl = jnp.asarray(slots)
-    c = centers_p[sl]                                    # (L*ls, 3)
-    r = radii_p[sl]
-    ccr = jnp.sum(c * c, axis=-1) - r * r
-    attrs = jnp.stack([c[:, 0], c[:, 1], c[:, 2], ccr])  # (4, L*ls)
-    attrs = attrs.reshape(4, L // 2, 2, ls).transpose(1, 2, 0, 3)
-    entries = attrs.reshape(L // 2, 8, ls)
-    entries = jnp.tile(entries, (1, 1, reps)).astype(jnp.float32)
-    entries = entries.reshape(n_chunks, lpc // 2, 8, LANES)
-    sentinel = jnp.zeros((n_chunks, 1, 8, LANES),
-                         jnp.float32).at[:, :, 3].set(1.0e30)
-    sentinel = sentinel.at[:, :, 7].set(1.0e30)
-    entries = jnp.concatenate([entries, sentinel], axis=1)
+    if L * ls <= 32_000_000:
+        centers_p, radii_p = padded_scene_arrays(scene.centers, scene.radii)
+        sl = jnp.asarray(slots)
+        c = centers_p[sl]                                # (L*ls, 3)
+        r = radii_p[sl]
+        ccr = jnp.sum(c * c, axis=-1) - r * r
+        attrs = jnp.stack([c[:, 0], c[:, 1], c[:, 2], ccr])  # (4, L*ls)
+        attrs = attrs.reshape(4, L // 2, 2, ls).transpose(1, 2, 0, 3)
+        entries = attrs.reshape(L // 2, 8, ls)
+        entries = jnp.tile(entries, (1, 1, reps)).astype(jnp.float32)
+        entries = entries.reshape(n_chunks, lpc // 2, 8, LANES)
+        sentinel = jnp.zeros((n_chunks, 1, 8, LANES),
+                             jnp.float32).at[:, :, 3].set(1.0e30)
+        sentinel = sentinel.at[:, :, 7].set(1.0e30)
+        entries = jnp.concatenate([entries, sentinel], axis=1)
+    else:
+        # 100M-sphere scale: the device-side assembly's transpose/tile
+        # intermediates are several full table copies (table alone is
+        # 6.4 GB at 100M) and exhaust HBM; assemble on the HOST (125 GB
+        # RAM) and ship the finished table in one transfer. One-time
+        # build cost, identical layout.
+        from tracer.bvh.flat import SENTINEL_CENTER, SENTINEL_RADIUS
+        cn = np.asarray(scene.centers, np.float32)
+        rn = np.asarray(scene.radii, np.float32)
+        cn = np.concatenate(
+            [cn, np.full((1, 3), SENTINEL_CENTER, np.float32)])
+        rn = np.concatenate(
+            [rn, np.full((1,), SENTINEL_RADIUS, np.float32)])
+        c = cn[slots]
+        r = rn[slots]
+        with np.errstate(over="ignore"):   # sentinel rows overflow to inf
+            ccr = (c * c).sum(-1) - r * r
+        ent = np.empty((n_chunks, lpc // 2 + 1, 8, LANES), np.float32)
+        att = np.stack([c[:, 0], c[:, 1], c[:, 2], ccr])  # (4, L*ls)
+        att = att.reshape(4, L // 2, 2, ls).transpose(1, 2, 0, 3)
+        att = att.reshape(n_chunks, lpc // 2, 8, ls)
+        for rep in range(reps):
+            ent[:, :-1, :, rep * ls:(rep + 1) * ls] = att
+        ent[:, -1] = 0.0
+        ent[:, -1, 3] = 1.0e30
+        ent[:, -1, 7] = 1.0e30
+        entries = jnp.asarray(ent)
 
     slot_to_sphere = jnp.asarray(np.where(slots == n, -1, slots), jnp.int32)
     return CullTables(
