@@ -231,12 +231,18 @@ def run_sweep(sizes=(5000, 10000, 15000, 20000, 25000, 30000,
                 # more chunks); overflow is recorded per row.
                 from tracer.kernels.tlas import nearest_hit_tlas_feats
                 g_est = (num_rays + 256 * sp) // (s_ * sp) + 1
-                # Budgets from tools/diag_tlas.py at 10M/512k rays: total
-                # pairs 38.4x g, chunks-per-g-block max 103 (origin rays
-                # see every chunk stacked along the axis) -> 40x/128.
-                pair_mult = 24 if C <= 32 else 40
+                # Budgets from tools/diag_tlas.py at 512k origin rays:
+                #   10M  (C=157):  total pairs 38.4x g, chunks/g-block max 103
+                #   100M (C=1421): total pairs 90.1x g, chunks/g-block max 502
+                # (origin rays see every chunk stacked along the axis).
+                if C <= 32:
+                    pair_mult, kcap = 24, 48
+                elif C <= 256:
+                    pair_mult, kcap = 40, 128
+                else:
+                    pair_mult, kcap = 144, 512
                 npairs = min(C * g_est, max(4096, pair_mult * g_est))
-                kcap = min(C, 48 if C <= 32 else 128)
+                kcap = min(C, kcap)
                 if C > 32:
                     mg = 32   # per-CHUNK group budget (not the global one)
 
