@@ -236,22 +236,23 @@ def run_sweep(sizes=(5000, 10000, 15000, 20000, 25000, 30000,
                 #   100M (C=1421): total pairs 90.1x g, chunks/g-block max 502
                 # (origin rays see every chunk stacked along the axis).
                 if C <= 32:
-                    pair_mult, kcap = 24, 48
+                    pair_mult, kcap, pblk = 24, 48, 8192
                 elif C <= 256:
-                    pair_mult, kcap = 40, 128
+                    pair_mult, kcap, pblk = 40, 128, 8192
                 else:
-                    pair_mult, kcap = 144, 512
+                    pair_mult, kcap, pblk = 144, 512, 4096
                 npairs = min(C * g_est, max(4096, pair_mult * g_est))
                 kcap = min(C, kcap)
                 if C > 32:
                     mg = 32   # per-CHUNK group budget (not the global one)
 
-                def oneshot(o, dd, tb, mg=mg, npairs=npairs, kcap=kcap):
+                def oneshot(o, dd, tb, mg=mg, npairs=npairs, kcap=kcap,
+                            pblk=pblk):
                     feats, dest = prep_feats_bucketed(o, dd, s_, sp,
                                                       cell_bits=8)
                     t, slot, ovf = nearest_hit_tlas_feats(
                         feats, tb, max_groups=mg, max_candidates=119,
-                        npairs=npairs, kc=kcap)
+                        npairs=npairs, kc=kcap, pair_block=pblk)
                     return t, kernel_order_dest(dest, s_, sp), ovf
             else:
                 def oneshot(o, dd, tb, mg=mg):

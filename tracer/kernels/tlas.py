@@ -122,7 +122,7 @@ def route_pairs(o_lo, o_hi, d_lo, d_hi, tables: ConeTables, subpackets: int,
 
 def tlas_candidates(feats: Array, tables: ConeTables, max_groups: int,
                     max_candidates: int, npairs: int, kc: int,
-                    interpret: bool = False):
+                    pair_block: int = 8192, interpret: bool = False):
     """Routed phase A: feats (g, S, SP, FEAT) -> per-pair candidate rows.
 
     Returns (rows (Npairs, S, rowlen) i32 chunk-RELATIVE count-embedded
@@ -148,92 +148,109 @@ def tlas_candidates(feats: Array, tables: ConeTables, max_groups: int,
     pair_c, pair_gb, pair_active, merge_pos, r_ovf = route_pairs(
         o_lo, o_hi, d_lo, d_hi, tables, S, npairs, kc, interpret=interpret)
 
-    # Per-pair subpacket bounds: ONE packed (g, S*12) row gather.
-    packed = jnp.concatenate([o_lo, o_hi, d_lo, d_hi], axis=1)  # (P, 12)
-    packed = packed.reshape(g, S * 12)[pair_gb]            # (Np, S*12)
-    pb = packed.reshape(npairs * S, 12)
-    po_lo, po_hi = pb[:, 0:3], pb[:, 3:6]
-    pd_lo, pd_hi = pb[:, 6:9], pb[:, 9:12]
-    P2 = npairs * S
-
-    # Group test inside the pair's chunk: gather the chunk's group boxes
-    # as whole (gpc*3) rows, broadcast over the pair's S subpackets.
-    gmin_c = cull.group_min.reshape(C, gpc * 3)[pair_c]    # (Np, gpc*3)
-    gmax_c = cull.group_max.reshape(C, gpc * 3)[pair_c]
-
-    def _cols(x):
-        v = x.reshape(npairs, 1, gpc, 3)
-        v = jnp.broadcast_to(v, (npairs, S, gpc, 3)).reshape(P2, gpc, 3)
-        return tuple(v[:, :, a] for a in range(3))
-
-    ghit = _slab_hit_cols(po_lo, po_hi, pd_lo, pd_hi,
-                          _cols(gmin_c), _cols(gmax_c))    # (P2, gpc)
-    gid_rel = jnp.broadcast_to(jnp.arange(gpc, dtype=jnp.int32),
-                               (P2, gpc))
-    gid_global = (pair_c[:, None] * gpc
-                  + jnp.arange(gpc, dtype=jnp.int32)[None])  # (Np, gpc)
-    real = (gid_global * lpg < cull.num_real_leaves)
-    real = jnp.broadcast_to(real[:, None], (npairs, S, gpc)).reshape(P2, gpc)
-    act = jnp.broadcast_to(pair_active[:, None],
-                           (npairs, S)).reshape(P2)
-    ghit = ghit & real & act[:, None]
-
+    packed_all = jnp.concatenate([o_lo, o_hi, d_lo, d_hi],
+                                 axis=1).reshape(g, S * 12)  # (g, 12*S)
     gpc_pad = -(-gpc // LANES) * LANES
-    gm_ids = jnp.where(ghit, gid_rel, gpc)
-    gm_ids = jnp.pad(gm_ids, ((0, 0), (0, gpc_pad - gpc)),
-                     constant_values=gpc)
     K0 = min(gpc_pad, max(-(-k0 // LANES) * LANES, LANES))
-    gprefix, gtotal = compact_ascending_rows(gm_ids, gpc, K0,
-                                             interpret=interpret)
-    gcand = gprefix[:, :k0] if k0 <= K0 else jnp.pad(
-        gprefix, ((0, 0), (0, k0 - K0)), constant_values=gpc)
 
-    # Leaf refine: attr-major leaf-box rows by GLOBAL group id.
-    pair_c2 = jnp.broadcast_to(pair_c[:, None],
-                               (npairs, S)).reshape(P2)
-    safe_g = jnp.minimum(gcand, gpc - 1) + pair_c2[:, None] * gpc
-    rows_lb = tables.leaf_boxes[safe_g]                    # (P2, k0, lpg*6)
-    att = [rows_lb[:, :, a * lpg:(a + 1) * lpg].reshape(P2, -1)
-           for a in range(6)]
-    member = (gcand[:, :, None] * lpg
-              + jnp.arange(lpg, dtype=jnp.int32)[None, None])
-    member = member.reshape(P2, -1)                        # chunk-relative
-    member_global = member + pair_c2[:, None] * lpc
-    valid = (member < lpc) & (member_global < cull.num_real_leaves)
-    lhit = _slab_hit_cols(po_lo, po_hi, pd_lo, pd_hi,
-                          tuple(att[0:3]), tuple(att[3:6])) & valid
+    # Pairs are processed in fixed-size BLOCKS under lax.map: phase A's
+    # per-pair intermediates scale with block_size * k0 * lpg (the leaf
+    # refine gathers (P2, k0, lpg*6) box rows — at 100M spheres the
+    # unblocked form materialized 6.7 GB twice and exhausted HBM).
+    blk = min(npairs, pair_block)
+    npad = (-npairs) % blk
+    pc_b = jnp.pad(pair_c, ((0, npad),)).reshape(-1, blk)
+    pg_b = jnp.pad(pair_gb, ((0, npad),)).reshape(-1, blk)
+    act_b = jnp.pad(pair_active, ((0, npad),)).reshape(-1, blk)
 
-    K_l = min(member.shape[1], 8 * LANES)
-    lm_ids = jnp.where(lhit, member, lpc)
-    lprefix, ltotal = compact_ascending_rows(lm_ids, lpc, K_l,
-                                             interpret=interpret)
+    def one_block(args):
+        pair_c, pair_gb, pair_active = args
+        np_ = blk
+        P2 = np_ * S
+        pb = packed_all[pair_gb].reshape(P2, 12)
+        po_lo, po_hi = pb[:, 0:3], pb[:, 3:6]
+        pd_lo, pd_hi = pb[:, 6:9], pb[:, 9:12]
 
-    j = jnp.arange(k, dtype=jnp.int32)
-    lcnt = jnp.minimum(ltotal, K_l)[:, None]
-    lhead = lprefix[:, :k] if K_l >= k else jnp.pad(
-        lprefix, ((0, 0), (0, k - K_l)), constant_values=lpc)
-    lvals = jnp.where(j[None, :] < jnp.minimum(lcnt, k), lhead, lpc)
+        # Group test inside the pair's chunk: whole (gpc*3) row gathers,
+        # broadcast over the pair's S subpackets.
+        gmin_c = cull.group_min.reshape(C, gpc * 3)[pair_c]
+        gmax_c = cull.group_max.reshape(C, gpc * 3)[pair_c]
 
-    jg = jnp.arange(kg, dtype=jnp.int32)
-    gcnt = gtotal[:, None]
-    ghead = gprefix[:, :kg] if K0 >= kg else jnp.pad(
-        gprefix, ((0, 0), (0, kg - K0)), constant_values=gpc)
-    gvals = jnp.where(jg[None, :] < jnp.minimum(gcnt, kg), ghead, gpc)
+        def _cols(x):
+            v = x.reshape(np_, 1, gpc, 3)
+            v = jnp.broadcast_to(v, (np_, S, gpc, 3)).reshape(P2, gpc, 3)
+            return tuple(v[:, :, a] for a in range(3))
 
-    use_g = (ltotal[:, None] > k) | (gtotal[:, None] > k0) \
-        | (ltotal[:, None] > K_l)
-    overflow = r_ovf | jnp.any(use_g & (gtotal[:, None] > kg))
+        ghit = _slab_hit_cols(po_lo, po_hi, pd_lo, pd_hi,
+                              _cols(gmin_c), _cols(gmax_c))  # (P2, gpc)
+        gid_rel = jnp.broadcast_to(jnp.arange(gpc, dtype=jnp.int32),
+                                   (P2, gpc))
+        gid_global = (pair_c[:, None] * gpc
+                      + jnp.arange(gpc, dtype=jnp.int32)[None])
+        real = (gid_global * lpg < cull.num_real_leaves)
+        real = jnp.broadcast_to(real[:, None],
+                                (np_, S, gpc)).reshape(P2, gpc)
+        act = jnp.broadcast_to(pair_active[:, None], (np_, S)).reshape(P2)
+        ghit = ghit & real & act[:, None]
 
-    pad = rowlen - 1 - max(k, kg)
-    cnt_col = jnp.where(use_g, -jnp.minimum(gcnt, kg),
-                        jnp.minimum(lcnt, k))
-    body = jnp.where(use_g,
-                     jnp.pad(gvals, ((0, 0), (0, max(k - kg, 0))),
-                             constant_values=gpc),
-                     jnp.pad(lvals, ((0, 0), (0, max(kg - k, 0))),
-                             constant_values=lpc))
-    rows = jnp.concatenate(
-        [cnt_col, body, jnp.full((P2, pad), lpc, jnp.int32)], axis=1)
+        gm_ids = jnp.where(ghit, gid_rel, gpc)
+        gm_ids = jnp.pad(gm_ids, ((0, 0), (0, gpc_pad - gpc)),
+                         constant_values=gpc)
+        gprefix, gtotal = compact_ascending_rows(gm_ids, gpc, K0,
+                                                 interpret=interpret)
+        gcand = gprefix[:, :k0] if k0 <= K0 else jnp.pad(
+            gprefix, ((0, 0), (0, k0 - K0)), constant_values=gpc)
+
+        # Leaf refine: attr-major leaf-box rows by GLOBAL group id.
+        pair_c2 = jnp.broadcast_to(pair_c[:, None], (np_, S)).reshape(P2)
+        safe_g = jnp.minimum(gcand, gpc - 1) + pair_c2[:, None] * gpc
+        rows_lb = tables.leaf_boxes[safe_g]              # (P2, k0, lpg*6)
+        att = [rows_lb[:, :, a * lpg:(a + 1) * lpg].reshape(P2, -1)
+               for a in range(6)]
+        member = (gcand[:, :, None] * lpg
+                  + jnp.arange(lpg, dtype=jnp.int32)[None, None])
+        member = member.reshape(P2, -1)                  # chunk-relative
+        member_global = member + pair_c2[:, None] * lpc
+        valid = (member < lpc) & (member_global < cull.num_real_leaves)
+        lhit = _slab_hit_cols(po_lo, po_hi, pd_lo, pd_hi,
+                              tuple(att[0:3]), tuple(att[3:6])) & valid
+
+        K_l = min(member.shape[1], 8 * LANES)
+        lm_ids = jnp.where(lhit, member, lpc)
+        lprefix, ltotal = compact_ascending_rows(lm_ids, lpc, K_l,
+                                                 interpret=interpret)
+
+        j = jnp.arange(k, dtype=jnp.int32)
+        lcnt = jnp.minimum(ltotal, K_l)[:, None]
+        lhead = lprefix[:, :k] if K_l >= k else jnp.pad(
+            lprefix, ((0, 0), (0, k - K_l)), constant_values=lpc)
+        lvals = jnp.where(j[None, :] < jnp.minimum(lcnt, k), lhead, lpc)
+
+        jg = jnp.arange(kg, dtype=jnp.int32)
+        gcnt = gtotal[:, None]
+        ghead = gprefix[:, :kg] if K0 >= kg else jnp.pad(
+            gprefix, ((0, 0), (0, kg - K0)), constant_values=gpc)
+        gvals = jnp.where(jg[None, :] < jnp.minimum(gcnt, kg), ghead, gpc)
+
+        use_g = (ltotal[:, None] > k) | (gtotal[:, None] > k0) \
+            | (ltotal[:, None] > K_l)
+        ovf = jnp.any(use_g & (gtotal[:, None] > kg))
+
+        pad = rowlen - 1 - max(k, kg)
+        cnt_col = jnp.where(use_g, -jnp.minimum(gcnt, kg),
+                            jnp.minimum(lcnt, k))
+        body = jnp.where(use_g,
+                         jnp.pad(gvals, ((0, 0), (0, max(k - kg, 0))),
+                                 constant_values=gpc),
+                         jnp.pad(lvals, ((0, 0), (0, max(kg - k, 0))),
+                                 constant_values=lpc))
+        rows = jnp.concatenate(
+            [cnt_col, body, jnp.full((P2, pad), lpc, jnp.int32)], axis=1)
+        return rows.reshape(np_, S, rowlen), ovf
+
+    rows_b, ovf_b = jax.lax.map(one_block, (pc_b, pg_b, act_b))
+    rows = rows_b.reshape(-1, S, rowlen)[:npairs]
+    overflow = r_ovf | jnp.any(ovf_b)
     rows = rows.reshape(npairs, 1, S, rowlen)   # (Np, 1, S, rowlen): the
     # unit axis makes the per-step block shape identical to leafcull's
     # (1, 1, S, rowlen) SMEM candidate block.
@@ -320,10 +337,12 @@ def _routed_call(pair_c: Array, pair_gb: Array, cand: Array, feats: Array,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "max_groups", "max_candidates", "npairs", "kc", "interpret"))
+    "max_groups", "max_candidates", "npairs", "kc", "pair_block",
+    "interpret"))
 def nearest_hit_tlas_feats(feats: Array, tables: ConeTables,
                            max_groups: int = 64, max_candidates: int = 119,
                            npairs: int = 8192, kc: int = 32,
+                           pair_block: int = 8192,
                            interpret: bool = False):
     """Raw-order lite closest hit through the TLAS-routed pipeline.
 
@@ -338,7 +357,7 @@ def nearest_hit_tlas_feats(feats: Array, tables: ConeTables,
 
     rows, pair_c, pair_gb, merge_pos, overflow = tlas_candidates(
         feats, tables, max_groups, max_candidates, npairs, kc,
-        interpret=interpret)
+        pair_block=pair_block, interpret=interpret)
     t_p, slot_p = _routed_call(pair_c, pair_gb, rows, feats, cull.entries,
                                S, SP, cull.leaf_size, cull.leaves_per_chunk,
                                cull.leaves_per_group, interpret=interpret)
