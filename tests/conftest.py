@@ -30,6 +30,21 @@ def rng():
     return np.random.default_rng(0)
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Bound backend memory growth across the 140-test run.
+
+    The full suite compiles hundreds of distinct programs (many with large
+    constant operands); by ~120 tests in, the CPU backend's live
+    executables + cached buffers have been observed to push XLA's own
+    compiler allocations into a segfault. Dropping the compilation cache
+    between MODULES keeps the process bounded; per-module locality keeps
+    the re-compile cost negligible (modules rarely share jit signatures).
+    """
+    yield
+    jax.clear_caches()
+
+
 # ---------------------------------------------------------------------------
 # Slow-test marking (VERDICT r3 weak 9): the interpret-mode Pallas kernel
 # suites dominate the 15+ minute full run. `pytest -m "not slow"` is the
