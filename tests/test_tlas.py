@@ -116,3 +116,22 @@ def test_route_pairs_covers_every_occupied_chunk():
         chunk = slot // (lpc * ls)
         gb = int(dn[i]) // (S * SP)
         assert (chunk, gb) in routed, (i, chunk, gb)
+
+
+def test_tlas_split_equals_fused():
+    """nearest_hit_tlas_split (separately-jitted stages, the 100M compile
+    fallback) must give exactly the fused pipeline's results."""
+    rng = np.random.default_rng(1)
+    scene, tables = _mk(4096, 150.0, 0.25)
+    o, d = _rays(rng, 512, 10.0)
+    feats, dest = prep_feats_bucketed(o, d, 8, 64, cell_bits=8)
+    from tracer.kernels.tlas import nearest_hit_tlas_split
+    t_f, s_f, ovf_f = nearest_hit_tlas_feats(feats, tables, interpret=True)
+    # interpret mode flows through the jitted helpers on CPU via the
+    # pallas interpret path only in the fused fn; the split fn runs the
+    # real jits (CPU backend), so compare on CPU directly.
+    t_s, s_s, ovf_s = nearest_hit_tlas_split(feats, tables, interpret=True)
+    np.testing.assert_array_equal(np.asarray(s_f), np.asarray(s_s))
+    np.testing.assert_allclose(np.asarray(t_f), np.asarray(t_s),
+                               rtol=2e-5, atol=1e-4)
+    assert bool(ovf_f) == bool(ovf_s)

@@ -229,7 +229,8 @@ def run_sweep(sizes=(5000, 10000, 15000, 20000, 25000, 30000,
                 # pairs exist in phase A, the kernel grid, and memory.
                 # Budgets grow with chunk count (deeper corridors cross
                 # more chunks); overflow is recorded per row.
-                from tracer.kernels.tlas import nearest_hit_tlas_feats
+                from tracer.kernels.tlas import (nearest_hit_tlas_feats,
+                                                 nearest_hit_tlas_split)
                 g_est = (num_rays + 256 * sp) // (s_ * sp) + 1
                 # Budgets from tools/diag_tlas.py at 512k origin rays:
                 #   10M  (C=157):  total pairs 38.4x g, chunks/g-block max 103
@@ -246,15 +247,24 @@ def run_sweep(sizes=(5000, 10000, 15000, 20000, 25000, 30000,
                 if C > 32:
                     mg = 32   # per-CHUNK group budget (not the global one)
 
+                # C > 256: the fused program crashes the remote compile
+                # helper; run the same pipeline as separate jits (timed as
+                # a whole, nothing excluded).
+                split_jits = C > 256
+                tlas_fn = (nearest_hit_tlas_split if split_jits
+                           else nearest_hit_tlas_feats)
+
                 def oneshot(o, dd, tb, mg=mg, npairs=npairs, kcap=kcap,
                             pblk=pblk):
                     feats, dest = prep_feats_bucketed(o, dd, s_, sp,
                                                       cell_bits=8)
-                    t, slot, ovf = nearest_hit_tlas_feats(
+                    t, slot, ovf = tlas_fn(
                         feats, tb, max_groups=mg, max_candidates=119,
                         npairs=npairs, kc=kcap, pair_block=pblk)
                     return t, kernel_order_dest(dest, s_, sp), ovf
             else:
+                split_jits = False
+
                 def oneshot(o, dd, tb, mg=mg):
                     feats, dest = prep_feats_bucketed(o, dd, s_, sp,
                                                       cell_bits=8)
@@ -265,7 +275,23 @@ def run_sweep(sizes=(5000, 10000, 15000, 20000, 25000, 30000,
             # Tables are ARGUMENTS, not closure constants: closed-over
             # arrays are baked into the HLO, and a 10M-sphere table
             # (640 MB) blows the remote-compile request limit.
-            fn2 = jax.jit(oneshot)
+            # At C > 256 oneshot composes separately-jitted stages and
+            # must NOT be re-wrapped into one program (prep is jitted
+            # inside nearest_hit_tlas_split's callees or below).
+            if split_jits:
+                prep_j = jax.jit(lambda o, dd: prep_feats_bucketed(
+                    o, dd, s_, sp, cell_bits=8))
+                kod_j = jax.jit(lambda dest: kernel_order_dest(dest, s_, sp))
+
+                def fn2(o, dd, tb, mg=mg, npairs=npairs, kcap=kcap,
+                        pblk=pblk):
+                    feats, dest = prep_j(o, dd)
+                    t, slot, ovf = nearest_hit_tlas_split(
+                        feats, tb, max_groups=mg, max_candidates=119,
+                        npairs=npairs, kc=kcap, pair_block=pblk)
+                    return t, kod_j(dest), ovf
+            else:
+                fn2 = jax.jit(oneshot)
             out = fn2(rays.origin, rays.direction, tables)
             ovf = bool(np.asarray(out[-1]))
             if ovf:

@@ -383,3 +383,54 @@ def nearest_hit_tlas_feats(feats: Array, tables: ConeTables,
     t = t.reshape(-1)
     hit = slot < _NOSLOT
     return (jnp.where(hit, t, jnp.inf), jnp.where(hit, slot, -1), overflow)
+
+
+@jax.jit
+def _tlas_merge(t_p: Array, slot_p: Array, merge_pos: Array):
+    """Per-g-block min-merge of routed partials (see nearest_hit_tlas_feats)."""
+    npairs, SP, S = t_p.shape
+    t_flat = jnp.concatenate(
+        [t_p.reshape(npairs, SP * S),
+         jnp.full((1, SP * S), _BIG, jnp.float32)], axis=0)
+    s_flat = jnp.concatenate(
+        [slot_p.reshape(npairs, SP * S),
+         jnp.full((1, SP * S), _NOSLOT, jnp.int32)], axis=0)
+    tm = t_flat[merge_pos]
+    sm = s_flat[merge_pos]
+    tmasked = jnp.where(sm < _NOSLOT, tm, _BIG)
+    ci = jnp.argmin(tmasked, axis=1)[:, None]
+    t = jnp.take_along_axis(tmasked, ci, axis=1)[:, 0].reshape(-1)
+    slot = jnp.take_along_axis(sm, ci, axis=1)[:, 0].reshape(-1)
+    hit = slot < _NOSLOT
+    return jnp.where(hit, t, jnp.inf), jnp.where(hit, slot, -1)
+
+
+def nearest_hit_tlas_split(feats: Array, tables: ConeTables,
+                           max_groups: int = 64, max_candidates: int = 119,
+                           npairs: int = 8192, kc: int = 32,
+                           pair_block: int = 8192, interpret: bool = False):
+    """The TLAS pipeline as FOUR separately-jitted programs.
+
+    Same results as :func:`nearest_hit_tlas_feats` (one fused jit), but
+    each stage (phase A, kernel, merge) compiles as its own program. At
+    100M spheres the fused program crashed the remote compile helper
+    (tpu_compile_helper exit 1 — a compiler-side resource failure, not a
+    program error); splitting keeps each compilation small. Callers time
+    the whole composite, so nothing is excluded from end-to-end numbers.
+    """
+    cull = tables.cull
+    g, S, SP, F = feats.shape
+    npairs = min(npairs, cull.num_chunks * g)
+    kc = min(kc, cull.num_chunks)
+
+    cand = jax.jit(tlas_candidates, static_argnames=(
+        "max_groups", "max_candidates", "npairs", "kc", "pair_block",
+        "interpret"))
+    rows, pair_c, pair_gb, merge_pos, overflow = cand(
+        feats, tables, max_groups, max_candidates, npairs, kc,
+        pair_block=pair_block, interpret=interpret)
+    t_p, slot_p = _routed_call(pair_c, pair_gb, rows, feats, cull.entries,
+                               S, SP, cull.leaf_size, cull.leaves_per_chunk,
+                               cull.leaves_per_group, interpret=interpret)
+    t, slot = _tlas_merge(t_p, slot_p, merge_pos)
+    return t, slot, overflow
