@@ -429,8 +429,33 @@ def nearest_hit_tlas_split(feats: Array, tables: ConeTables,
     rows, pair_c, pair_gb, merge_pos, overflow = cand(
         feats, tables, max_groups, max_candidates, npairs, kc,
         pair_block=pair_block, interpret=interpret)
-    t_p, slot_p = _routed_call(pair_c, pair_gb, rows, feats, cull.entries,
-                               S, SP, cull.leaf_size, cull.leaves_per_chunk,
-                               cull.leaves_per_group, interpret=interpret)
+
+    # The kernel's scalar-prefetch pair tables live in SMEM; at ~78k pairs
+    # (100M spheres) the two i32 arrays are ~620 KB and the compile helper
+    # dies. Invoke the kernel over contiguous pair RANGES instead — each
+    # range is still chunk-major, so entries-block residency is preserved;
+    # outputs concatenate back into global pair order for the merge.
+    KSPLIT = 24576
+    nsplit = -(-npairs // KSPLIT)
+    if nsplit <= 1:
+        t_p, slot_p = _routed_call(pair_c, pair_gb, rows, feats,
+                                   cull.entries, S, SP, cull.leaf_size,
+                                   cull.leaves_per_chunk,
+                                   cull.leaves_per_group,
+                                   interpret=interpret)
+    else:
+        tps, sps = [], []
+        for i in range(nsplit):
+            lo = i * KSPLIT
+            hi = min(npairs, lo + KSPLIT)
+            tp, sp_ = _routed_call(
+                pair_c[lo:hi], pair_gb[lo:hi], rows[lo:hi], feats,
+                cull.entries, S, SP, cull.leaf_size,
+                cull.leaves_per_chunk, cull.leaves_per_group,
+                interpret=interpret)
+            tps.append(tp)
+            sps.append(sp_)
+        t_p = jnp.concatenate(tps, axis=0)
+        slot_p = jnp.concatenate(sps, axis=0)
     t, slot = _tlas_merge(t_p, slot_p, merge_pos)
     return t, slot, overflow
