@@ -218,6 +218,11 @@ def run_sweep(sizes=(5000, 10000, 15000, 20000, 25000, 30000,
             res.row_paths.append("dense_brute_fast")
         elif use_pallas:
             tables = build_cone_tables(scene, bvh)
+            if n > brute_limit:
+                # Free the device scene arrays (1.6 GB at 100M): brute is
+                # skipped at this size and the query reads only the packed
+                # tables; every HBM byte matters next to the 6.4 GB table.
+                scene = None
             sp, s_ = 128, 8
             # Group budget scales with leaf density: a truncated refine
             # forces whole (subpacket, chunk) rows into group-mode walks.

@@ -385,22 +385,40 @@ def nearest_hit_tlas_feats(feats: Array, tables: ConeTables,
     return (jnp.where(hit, t, jnp.inf), jnp.where(hit, slot, -1), overflow)
 
 
-@jax.jit
-def _tlas_merge(t_p: Array, slot_p: Array, merge_pos: Array):
-    """Per-g-block min-merge of routed partials (see nearest_hit_tlas_feats)."""
+@functools.partial(jax.jit, static_argnames=("row_block",))
+def _tlas_merge(t_p: Array, slot_p: Array, merge_pos: Array,
+                row_block: int = 64):
+    """Per-g-block min-merge of routed partials (see nearest_hit_tlas_feats).
+
+    Blocked over g rows: the gathered (g, kc, SP*S) temporaries are
+    ~1.1 GB EACH at the 100M configuration (kc=512); lax.map over
+    ``row_block`` g-rows keeps the peak ~g/row_block times smaller."""
     npairs, SP, S = t_p.shape
+    g, kc = merge_pos.shape
     t_flat = jnp.concatenate(
         [t_p.reshape(npairs, SP * S),
          jnp.full((1, SP * S), _BIG, jnp.float32)], axis=0)
     s_flat = jnp.concatenate(
         [slot_p.reshape(npairs, SP * S),
          jnp.full((1, SP * S), _NOSLOT, jnp.int32)], axis=0)
-    tm = t_flat[merge_pos]
-    sm = s_flat[merge_pos]
-    tmasked = jnp.where(sm < _NOSLOT, tm, _BIG)
-    ci = jnp.argmin(tmasked, axis=1)[:, None]
-    t = jnp.take_along_axis(tmasked, ci, axis=1)[:, 0].reshape(-1)
-    slot = jnp.take_along_axis(sm, ci, axis=1)[:, 0].reshape(-1)
+
+    rb = min(row_block, g)
+    pad = (-g) % rb
+    mp = jnp.pad(merge_pos, ((0, pad), (0, 0)),
+                 constant_values=npairs).reshape(-1, rb, kc)
+
+    def one(mp_block):
+        tm = t_flat[mp_block]                              # (rb, kc, SP*S)
+        sm = s_flat[mp_block]
+        tmasked = jnp.where(sm < _NOSLOT, tm, _BIG)
+        ci = jnp.argmin(tmasked, axis=1)[:, None]
+        t = jnp.take_along_axis(tmasked, ci, axis=1)[:, 0]
+        slot = jnp.take_along_axis(sm, ci, axis=1)[:, 0]
+        return t, slot
+
+    t_b, s_b = jax.lax.map(one, mp)
+    t = t_b.reshape(-1, SP * S)[:g].reshape(-1)
+    slot = s_b.reshape(-1, SP * S)[:g].reshape(-1)
     hit = slot < _NOSLOT
     return jnp.where(hit, t, jnp.inf), jnp.where(hit, slot, -1)
 
