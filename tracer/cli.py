@@ -222,7 +222,12 @@ def cmd_render(args):
             f, _, _ = cam.basis()
             cam = cam.replace(position=cam.position + args.fly_speed * f)
         t0 = time.time()
-        img = jax.block_until_ready(frame(scene, cam, noise))
+        img = frame(scene, cam, noise)
+        # Fence with a host read that data-depends on the frame:
+        # block_until_ready returns early through remote TPU tunnels
+        # (tracer/bench/timing.py), and a display would need the pixels on
+        # the host anyway, so the scalar round-trip is the honest floor.
+        float(jnp.asarray(img.ravel()[0]))
         times.append(time.time() - t0)
         acc = acc.reset_to(img) if (moving or i == 0) else acc.add(img)
         if args.checkpoint:
