@@ -107,6 +107,7 @@ def run_sweep(sizes=(5000, 10000, 15000, 20000, 25000, 30000,
               num_rays: int = 131072, world_size: float = 1000.0,
               brute_limit: int = 20_000_000, use_pallas: bool = None,
               seed: int = 0, dense_limit: int = 4000,
+              device_build_min_n: int = 5_000_000,
               log: Callable = print) -> SweepResult:
     """Run the sweep. Default sizes = the reference's in-repo sweep
     (src/benchmark.c:289-295); pass (1000, 10000, ..., 1e6+) for the
@@ -183,10 +184,25 @@ def run_sweep(sizes=(5000, 10000, 15000, 20000, 25000, 30000,
         # scene-gen compile + device->host transfer, not build cost.
         cnp = np.asarray(scene.centers)
         rnp = np.asarray(scene.radii)
-        t0 = time.time()
         leaf = 32 if use_pallas else 8
-        bvh = build_bvh(cnp, rnp, leaf_size=leaf)
-        res.build_ms.append((time.time() - t0) * 1000.0)
+        device_build = use_pallas and n >= device_build_min_n
+        if device_build:
+            # Large scenes build on-chip (SURVEY §2.5's "BVH build ms"
+            # metric): the vectorized LBVH measured 648 ms at 10M where
+            # the host binned SAH takes 20 s, with QUERY PARITY (4.79 vs
+            # 4.71 Mrays/s through the TLAS path; tools/bench_lbvh.py).
+            from tracer.bvh.device import build_bvh_device
+            from tracer.bench.timing import time_chained as _tc
+            fb = jax.jit(lambda c, r: build_bvh_device(c, r,
+                                                       leaf_size=leaf))
+            dtb = _tc(fb, scene.centers, scene.radii, n1=1, n2=2,
+                      repeats=1)
+            bvh = fb(scene.centers, scene.radii)
+            res.build_ms.append(dtb * 1000.0)
+        else:
+            t0 = time.time()
+            bvh = build_bvh(cnp, rnp, leaf_size=leaf)
+            res.build_ms.append((time.time() - t0) * 1000.0)
 
         if n <= brute_limit:
             # Cap the materialized (rays, sphere-chunk) pair block at
@@ -310,6 +326,7 @@ def run_sweep(sizes=(5000, 10000, 15000, 20000, 25000, 30000,
                 rays.origin, rays.direction, tables)
             res.row_paths.append(
                 ("tlas_routed" if C > 1 else path)
+                + ("_lbvh" if device_build else "")
                 + ("_overflow" if ovf else ""))
         else:
             rs, _ = sort_rays_by_direction(rays)
