@@ -192,13 +192,19 @@ def run_sweep(sizes=(5000, 10000, 15000, 20000, 25000, 30000,
             # the host binned SAH takes 20 s, with QUERY PARITY (4.79 vs
             # 4.71 Mrays/s through the TLAS path; tools/bench_lbvh.py).
             from tracer.bvh.device import build_bvh_device
-            from tracer.bench.timing import time_chained as _tc
+            from tracer.bench.timing import fence
             fb = jax.jit(lambda c, r: build_bvh_device(c, r,
                                                        leaf_size=leaf))
-            dtb = _tc(fb, scene.centers, scene.radii, n1=1, n2=2,
-                      repeats=1)
+            # Warm (compile) then time ONE fenced build: chained timing
+            # holds two builds' temporaries live and OOMs at 100M (the
+            # pow2-padded slot arrays are ~1.6 GB each); the single-shot
+            # includes one dispatch RTT (~10 ms), noise against the
+            # 0.6-10 s builds this branch times.
+            fence(fb(scene.centers, scene.radii))
+            t0 = time.time()
             bvh = fb(scene.centers, scene.radii)
-            res.build_ms.append(dtb * 1000.0)
+            fence(bvh)
+            res.build_ms.append((time.time() - t0) * 1000.0)
         else:
             t0 = time.time()
             bvh = build_bvh(cnp, rnp, leaf_size=leaf)
