@@ -32,7 +32,10 @@ WORLD = 1000.0
 B = 512 * 1024
 S = 8               # subpackets per kernel step
 SP = 128            # rays per subpacket (one cull frustum)
-CELL_BITS = 8       # bucket_pad_sorted direction cells
+CELL_BITS = 9       # bucket_pad_sorted direction cells (9 bits measured
+                    # 48.6 vs 47.1 Mrays/s at 8: tighter cells shrink the
+                    # kernel candidate sets faster than the extra pad rows
+                    # cost; 7 and 6 lose ground the other way)
 MG, MC = 64, 119    # phase A group / leaf-candidate budgets
 
 
