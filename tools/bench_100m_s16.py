@@ -43,7 +43,7 @@ def main():
     bvh = fb(scene.centers, scene.radii)
     fence(bvh)
     print(f"LBVH build {time.time()-t0:.1f}s", flush=True)
-    tables = build_cone_tables(scene, bvh)
+    tables = build_cone_tables(scene, bvh, max_chunk_bytes=5 << 20)
     del scene
     C = tables.cull.num_chunks
     g_est = (B + 512 * SP) // (S * SP) + 1
